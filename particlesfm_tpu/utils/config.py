@@ -1,0 +1,199 @@
+"""Single config tree for the whole pipeline.
+
+Replaces the reference's three disjoint systems (argparse at
+/root/reference/run_particlesfm.py:121-158, YAML attribute-objects at
+/root/reference/motion_seg/core/utils/utils.py:27-35, boost program_options at
+/root/reference/sfm/gmapper/src/util/option_manager.cc) with one dataclass tree
+that is CLI-overridable with dotted keys and serialized next to outputs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclass
+class FlowConfig:
+    # RAFT-class flow net (reference: third_party/RAFT fork, raft-things weights)
+    iters: int = 20
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    small: bool = False
+    checkpoint: Optional[str] = None
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class TrackConfig:
+    # trajectory engine (reference defaults: run_particlesfm.py:124-129)
+    sample_ratio: int = 2
+    flow_check_thres: float = 1.0
+    traj_min_len: int = 3
+    skip_path_consistency: bool = False
+    upper_flow: float = 20.0            # flow02 gate (trajectory.py:161-179)
+    gn_iters: int = 20                  # path-consistency Gauss-Newton iterations
+    capacity: int = 1 << 17             # active-slot pool size
+    max_tracks: int = 100_000           # sample_inside_window cap (trajectory_base.cpp:150)
+
+
+@dataclass
+class MotionSegConfig:
+    window_size: int = 10
+    traj_max_num: int = 100_000
+    resolution: Tuple[int, int] = (240, 424)   # (h, w), configs/example_test.yaml
+    threshold: float = 0.5
+    checkpoint: Optional[str] = None
+    # model hyperparams (traj_oa_depth.py)
+    d_model: int = 16
+    nhead: int = 4
+    num_layers: int = 2
+    dim_feedforward: int = 64
+    oan_channels: int = 128
+    oan_depth: int = 8
+    oan_clusters: int = 100
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    epochs: int = 50
+    batch_size: int = 4
+    resolution: Tuple[int, int] = (272, 480)
+    seed: int = 0
+
+
+@dataclass
+class RotationAveragingConfig:
+    # reference: robust_rotation_estimator.{h,cc} + option_manager.cc defaults
+    max_num_l1_iterations: int = 5
+    l1_step_convergence_threshold: float = 0.001
+    max_num_irls_iterations: int = 100
+    irls_step_convergence_threshold: float = 0.001
+    irls_loss_parameter_sigma_deg: float = 5.0
+
+
+@dataclass
+class PositionAveragingConfig:
+    # reference: least_unsquared_deviation_position_estimator + option_manager.cc
+    method: str = "lud"                  # lud | linear | nonlinear
+    max_num_iterations: int = 400
+    convergence_criterion: float = 1e-4
+    use_scale_constraints: bool = True
+    min_triangulation_angle_deg: float = 2.0
+
+
+@dataclass
+class TriangulationConfig:
+    # reference: incremental_triangulator.h:46-89
+    create_max_angle_error_deg: float = 2.0
+    continue_max_angle_error_deg: float = 2.0
+    merge_max_reproj_error_px: float = 4.0
+    complete_max_reproj_error_px: float = 4.0
+    min_angle_deg: float = 1.5
+    max_transitivity: int = 1
+
+
+@dataclass
+class BundleAdjustmentConfig:
+    # reference: controllers/global_mapper.h:36-69 + optim/bundle_adjustment.h
+    max_num_iterations: int = 50
+    max_refinements: int = 5
+    refinement_change: float = 5e-4
+    loss: str = "soft_l1"
+    loss_scale: float = 1.0
+    refine_focal_length: bool = True
+    refine_extra_params: bool = True
+    filter_max_reproj_error_px: float = 4.0
+    filter_min_tri_angle_deg: float = 1.5
+
+
+@dataclass
+class SfmConfig:
+    sfm_type: str = "global"             # global | incremental | glomap-mode
+    min_num_matches: int = 15
+    sample_k: int = 20                   # matches per track (matches_from_flow.py:53)
+    remove_dynamic: bool = True
+    geometric_verification_max_error_px: float = 4.0
+    geometric_verification_min_inlier_ratio: float = 0.1
+    geometric_verification_min_num_inliers: int = 15
+    filter_max_orientation_error_deg: float = 10.0
+    rotation: RotationAveragingConfig = field(default_factory=RotationAveragingConfig)
+    position: PositionAveragingConfig = field(default_factory=PositionAveragingConfig)
+    triangulation: TriangulationConfig = field(default_factory=TriangulationConfig)
+    ba: BundleAdjustmentConfig = field(default_factory=BundleAdjustmentConfig)
+    seed: int = 100
+
+
+@dataclass
+class ParallelConfig:
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclass
+class Config:
+    image_dir: Optional[str] = None
+    output_dir: Optional[str] = None
+    assume_static: bool = False
+    skip_sfm: bool = False
+    skip_exists: bool = False
+    keep_intermediate: bool = False
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    motionseg: MotionSegConfig = field(default_factory=MotionSegConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    sfm: SfmConfig = field(default_factory=SfmConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+def _to_dict(obj):
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(x) for x in obj]
+    return obj
+
+
+def _from_dict(cls, data):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) or (isinstance(f.type, type) and dataclasses.is_dataclass(f.type)):
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_config(cfg: Config, path) -> None:
+    Path(path).write_text(json.dumps(_to_dict(cfg), indent=2))
+
+
+def load_config(path) -> Config:
+    return _from_dict(Config, json.loads(Path(path).read_text()))
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply dotted-key overrides like {'sfm.ba.max_num_iterations': 20}."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        cur = getattr(obj, parts[-1])
+        if cur is not None and not isinstance(value, type(cur)) and not (
+            isinstance(cur, (int, float)) and isinstance(value, (int, float))
+        ):
+            value = type(cur)(value)
+        setattr(obj, parts[-1], value)
+    return cfg

@@ -1,0 +1,19 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated without TPU hardware, per the pjit
+shape-polymorphism strategy in SURVEY.md §4. Must run before jax is imported.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
