@@ -1,0 +1,273 @@
+"""Global bundle adjustment: Levenberg-Marquardt with Schur-complement PCG.
+
+TPU-native rebuild of the reference's Ceres sparse-Schur BA
+(/root/reference/sfm/gmapper/src/optim/bundle_adjustment.cc:259-321 — SOFT_L1 loss,
+quaternion parameterization, constant-rotation mode, 7-DoF gauge fixed by pinning
+image0's pose and image1's tvec x, global_mapper.cc:402-448). The design maps the
+sparse problem onto dense batched blocks:
+
+  - residuals/Jacobians: one fused elementwise+matmul pass over the padded
+    observation tensor [N, K] (N tracks x K obs slots) — no per-residual-block
+    object graph;
+  - robustification: soft-L1 as IRLS weights (rho'(z) = 1/sqrt(1+z));
+  - point elimination: per-track 3x3 Schur blocks, inverted in parallel (vmap);
+  - reduced camera system: matrix-free PCG with block-Jacobi preconditioner;
+    the matvec is gather -> small matmuls -> segment-sum, which XLA fuses into a
+    few kernels. Camera blocks shard over the device mesh and the PCG reductions
+    become psum collectives (parallel/ wires the shardings in).
+  - gauge and constant-rotation ("translation-only" first phase,
+    controllers/global_mapper.cc:177) are per-parameter masks, not problem
+    restructuring.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import rotations as rot
+from ..geometry import se3
+from .tracks3d import TrackObs
+
+
+class BAState(NamedTuple):
+    q: jnp.ndarray        # [V, 4]
+    t: jnp.ndarray        # [V, 3]
+    X: jnp.ndarray        # [N, 3]
+    cost: jnp.ndarray     # scalar robust cost
+    lam: jnp.ndarray      # final LM damping
+
+
+def _residuals_jacobians(q, t, params, X, obs: TrackObs, w_obs):
+    """Per-observation residuals r [N,K,2], J_cam [N,K,2,6], J_pt [N,K,2,3].
+
+    Pose tangent d = (omega, nu): R <- Exp(omega) R, t <- t + nu.
+    Intrinsics: canonical row (fx, fy, cx, cy, k) with k ignored (the pipeline's
+    shared camera is SIMPLE_PINHOLE, import_feature_matches.py:36-65).
+    """
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    qo = q[obs.frame_idx]
+    to = t[obs.frame_idx]
+    x_cam = se3.pose_apply(qo, to, X[:, None, :])          # [N, K, 3]
+    x, y, z = x_cam[..., 0], x_cam[..., 1], x_cam[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    u = fx * x / z_safe + cx
+    v = fy * y / z_safe + cy
+    r = jnp.stack([u, v], axis=-1) - obs.uv                # [N, K, 2]
+
+    iz = 1.0 / z_safe
+    zero = jnp.zeros_like(x)
+    A = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * x * iz * iz], -1),
+            jnp.stack([zero, fy * iz, -fy * y * iz * iz], -1),
+        ],
+        axis=-2,
+    )                                                      # [N, K, 2, 3]
+    RX = x_cam - to                                        # R @ X
+    J_rot = jnp.einsum("nkij,nkjl->nkil", A, -rot.skew(RX))
+    J_cam = jnp.concatenate([J_rot, A], axis=-1)           # [N, K, 2, 6]
+    Ro = rot.quat_to_rotmat(qo)
+    J_pt = jnp.einsum("nkij,nkjl->nkil", A, Ro)
+    sw = jnp.sqrt(w_obs)[..., None]
+    return r * sw, J_cam * sw[..., None], J_pt * sw[..., None]
+
+
+def _robust_weights(q, t, params, X, obs: TrackObs, loss_scale, use_soft_l1: bool):
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    qo = q[obs.frame_idx]
+    to = t[obs.frame_idx]
+    x_cam = se3.pose_apply(qo, to, X[:, None, :])
+    z = x_cam[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    u = fx * x_cam[..., 0] / z_safe + cx
+    v = fy * x_cam[..., 1] / z_safe + cy
+    r2 = (u - obs.uv[..., 0]) ** 2 + (v - obs.uv[..., 1]) ** 2
+    m = obs.mask.astype(r2.dtype)
+    if use_soft_l1:
+        w = m / jnp.sqrt(1.0 + r2 / (loss_scale * loss_scale))
+    else:
+        w = m
+    # robust cost for LM accept/reject
+    s2 = loss_scale * loss_scale
+    rho = jnp.where(
+        use_soft_l1, 2.0 * s2 * (jnp.sqrt(1.0 + r2 / s2) - 1.0), r2
+    )
+    cost = jnp.sum(rho * m)
+    return w, cost
+
+
+def _inv3(M):
+    """Batched closed-form 3x3 inverse (adjugate), [..., 3, 3]."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def default_free_masks(num_views: int, refine_rotation: bool = True):
+    """Gauge fixing per global_mapper.cc:430-435: pin view 0's full pose and
+    view 1's tvec x-component; optionally freeze all rotations (first BA phase)."""
+    free = jnp.ones((num_views, 6), jnp.float32)
+    free = free.at[0].set(0.0)
+    free = free.at[1, 3].set(0.0)
+    if not refine_rotation:
+        free = free.at[:, :3].set(0.0)
+    return free
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "pcg_iters", "use_soft_l1"),
+)
+def bundle_adjust(
+    q: jnp.ndarray,           # [V, 4]
+    t: jnp.ndarray,           # [V, 3]
+    params: jnp.ndarray,      # [5] shared intrinsics
+    X: jnp.ndarray,           # [N, 3]
+    obs: TrackObs,            # mask already gated (invalid obs/tracks masked out)
+    free_mask: jnp.ndarray,   # [V, 6] 1.0 = free parameter
+    point_mask: jnp.ndarray,  # [N] 1.0 = optimize this track
+    max_iterations: int = 30,
+    pcg_iters: int = 50,
+    loss_scale: float = 1.0,
+    use_soft_l1: bool = True,
+    init_lam: float = 1e-4,
+) -> BAState:
+    """LM bundle adjustment. Returns updated (q, t, X) and final robust cost."""
+    V = q.shape[0]
+    fidx = obs.frame_idx
+    pm = point_mask[:, None].astype(X.dtype)
+
+    def lm_step(carry, _):
+        q, t, X, lam = carry
+        w_obs, cost0 = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
+        w_obs = w_obs * pm
+        r, Jc, Jp = _residuals_jacobians(q, t, params, X, obs, w_obs)
+
+        # --- assemble blocks -------------------------------------------------
+        Hcc = jnp.zeros((V, 6, 6), X.dtype).at[fidx].add(
+            jnp.einsum("nkri,nkrj->nkij", Jc, Jc)
+        )
+        gc = jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            jnp.einsum("nkri,nkr->nki", Jc, r)
+        )
+        Hpp = jnp.einsum("nkri,nkrj->nij", Jp, Jp)
+        gp = jnp.einsum("nkri,nkr->ni", Jp, r)
+        Wcp = jnp.einsum("nkri,nkrj->nkij", Jc, Jp)        # [N, K, 6, 3]
+
+        # LM damping
+        dHcc = Hcc + lam * jnp.eye(6, dtype=X.dtype)
+        dHpp = Hpp + lam * jnp.eye(3, dtype=X.dtype)
+        Hpp_inv = _inv3(dHpp)                              # [N, 3, 3]
+
+        fm = free_mask
+
+        def schur_matvec(xc):
+            xc = xc * fm
+            y = jnp.einsum("vij,vj->vi", dHcc, xc)
+            xg = xc[fidx]                                  # [N, K, 6]
+            u = jnp.einsum("nkij,nki->nj", Wcp, xg)        # [N, 3]
+            w = jnp.einsum("nij,nj->ni", Hpp_inv, u)
+            yk = jnp.einsum("nkij,nj->nki", Wcp, w)
+            y = y - jnp.zeros((V, 6), X.dtype).at[fidx].add(yk)
+            return y * fm
+
+        # rhs = -gc + W Hpp^-1 gp
+        hp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)
+        rhs = -gc + jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            jnp.einsum("nkij,nj->nki", Wcp, hp)
+        )
+        rhs = rhs * fm
+
+        # block-Jacobi preconditioner
+        Minv = jnp.linalg.inv(dHcc + 1e-8 * jnp.eye(6, dtype=X.dtype))
+
+        def precond(x):
+            return jnp.einsum("vij,vj->vi", Minv, x) * fm
+
+        # --- PCG -------------------------------------------------------------
+        x0 = jnp.zeros((V, 6), X.dtype)
+        r0 = rhs - schur_matvec(x0)
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def cg_body(c, _):
+            x, rr, z, p, rz = c
+            Ap = schur_matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return (x, rr, z, p, rz_new), None
+
+        (dc, *_), _ = jax.lax.scan(cg_body, (x0, r0, z0, p0, rz0), None, length=pcg_iters)
+
+        # back-substitute points: dp = Hpp^-1 (-gp - W^T dc)
+        dcg = dc[fidx]                                     # [N, K, 6]
+        wtdc = jnp.einsum("nkij,nki->nj", Wcp, dcg)
+        dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - wtdc) * pm
+
+        # --- candidate + accept/reject --------------------------------------
+        dq = rot.angle_axis_to_quat(dc[:, :3])
+        q_new = rot.quat_normalize(rot.quat_multiply(dq, q))
+        t_new = t + dc[:, 3:]
+        X_new = X + dp
+        # invalid tracks contribute the same constant to both costs (their X is
+        # frozen by pm), so the accept/reject comparison is unaffected by them
+        _, cost1 = _robust_weights(q_new, t_new, params, X_new, obs, loss_scale, use_soft_l1)
+        accept = cost1 < cost0
+        q = jnp.where(accept, q_new, q)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 3.0, 1e8))
+        return (q, t, X, lam), cost0
+
+    (q, t, X, lam), costs = jax.lax.scan(
+        lm_step, (q, t, X, jnp.asarray(init_lam, X.dtype)), None, length=max_iterations
+    )
+    _, final_cost = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
+    return BAState(q=q, t=t, X=X, cost=final_cost, lam=lam)
+
+
+@partial(jax.jit, static_argnames=())
+def refine_shared_focal(q, t, params, X, obs: TrackObs, point_mask):
+    """Closed-form GN update of the shared focal length (fx = fy = f).
+
+    Mirrors Ceres' refine_focal_length option for the pipeline's single shared
+    SIMPLE_PINHOLE camera (bundle_adjustment.h:48-102): with poses and points
+    fixed, f minimizing sum ||f*a + c - uv||^2 has a scalar closed form.
+    """
+    cx, cy = params[2], params[3]
+    qo = q[obs.frame_idx]
+    to = t[obs.frame_idx]
+    x_cam = se3.pose_apply(qo, to, X[:, None, :])
+    z = x_cam[..., 2]
+    valid = obs.mask & (z > 1e-6) & point_mask[:, None].astype(bool)
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    a = x_cam[..., :2] / z_safe[..., None]                 # [N, K, 2]
+    b = obs.uv - jnp.stack([jnp.broadcast_to(cx, z.shape), jnp.broadcast_to(cy, z.shape)], -1)
+    w = valid.astype(x_cam.dtype)
+    num = jnp.sum(w[..., None] * a * b)
+    den = jnp.maximum(jnp.sum(w[..., None] * a * a), 1e-12)
+    f = num / den
+    return params.at[0].set(f).at[1].set(f)

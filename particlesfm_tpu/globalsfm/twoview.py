@@ -1,0 +1,117 @@
+"""Batched two-view geometry estimation: fixed-trial RANSAC over all pairs at once.
+
+TPU-native counterpart of the reference's per-pair threaded RANSAC
+(/root/reference/sfm/gmapper/src/estimators/two_view_geometry.cc:172-253, driven from
+base/database_cache.cc:206-231 in a colmap::ThreadPool). Instead of adaptive
+per-pair sampling, every pair evaluates a fixed budget of hypotheses in parallel:
+`vmap` over pairs x hypotheses turns the whole view graph's relative-pose
+estimation into a handful of batched kernels (8-point solves are small eighs, the
+scoring is one big elementwise pass).
+
+Pipeline per pair (all pairs in lockstep):
+  1. sample S random 8-tuples of valid correspondences;
+  2. normalized 8-point -> closest essential matrix;
+  3. score by masked Sampson inlier count;
+  4. refit on the best hypothesis' inliers (one LS step), rescore;
+  5. decompose E, pick (R, t) by cheirality vote.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import epipolar, rotations as rot
+
+
+class TwoViewResult(NamedTuple):
+    q_rel: jnp.ndarray        # [P, 4] relative rotation (x_2 = R_12 x_1 + t_12)
+    t_rel: jnp.ndarray        # [P, 3] unit relative translation
+    inliers: jnp.ndarray      # [P, M] bool
+    num_inliers: jnp.ndarray  # [P] int32
+    tri_angle: jnp.ndarray    # [P] median triangulation angle of inliers (rad)
+
+
+def _sample_indices(key, mask, num_hypotheses: int, sample_size: int = 8):
+    """Random indices of valid entries: [S, 8] per pair. mask: [M]."""
+    M = mask.shape[0]
+    # valid-first permutation: argsort puts mask=True (0 after negation) first
+    order = jnp.argsort(~mask)  # [M] valid indices first
+    count = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    u = jax.random.uniform(key, (num_hypotheses, sample_size))
+    idx = (u * count.astype(u.dtype)).astype(jnp.int32)
+    return order[idx]
+
+
+def _median_masked(x, mask):
+    """Median of masked entries (mask weights >= half of valid count)."""
+    big = jnp.where(mask, x, jnp.inf)
+    sorted_x = jnp.sort(big)
+    count = jnp.sum(mask.astype(jnp.int32))
+    mid = jnp.maximum(count // 2, 0)
+    val = sorted_x[jnp.clip(mid, 0, x.shape[0] - 1)]
+    return jnp.where(count > 0, val, 0.0)
+
+
+def _estimate_one(key, x1, x2, mask, thres_sq, num_hypotheses: int):
+    """Single-pair estimation; vmapped over the pair axis. x1,x2: [M,2] normalized."""
+    idx = _sample_indices(key, mask, num_hypotheses)      # [S, 8]
+    s1 = x1[idx]                                          # [S, 8, 2]
+    s2 = x2[idx]
+    smask = mask[idx].astype(x1.dtype)
+
+    E = epipolar.eight_point(s1, s2, smask)               # [S, 3, 3]
+    E = epipolar.essential_closest(E)
+    err = epipolar.sampson_error(E, x1[None], x2[None])   # [S, M]
+    inl = (err < thres_sq) & mask[None]
+    scores = jnp.sum(inl.astype(jnp.int32), axis=-1)
+    best = jnp.argmax(scores)
+    best_inl = inl[best]
+
+    # local optimization: one masked LS refit on the winning consensus set
+    E_refit = epipolar.essential_closest(
+        epipolar.eight_point(x1, x2, best_inl.astype(x1.dtype))
+    )
+    err_refit = epipolar.sampson_error(E_refit, x1, x2)
+    inl_refit = (err_refit < thres_sq) & mask
+    better = jnp.sum(inl_refit.astype(jnp.int32)) >= jnp.sum(best_inl.astype(jnp.int32))
+    E_final = jnp.where(better, E_refit, E[best])
+    inl_final = jnp.where(better, inl_refit, best_inl)
+
+    q, t, _ = epipolar.pose_from_essential(E_final, x1, x2, inl_final.astype(x1.dtype))
+
+    # triangulation angle statistic (median over inliers), used by pair filters
+    R = rot.quat_to_rotmat(q)
+    d1, d2 = epipolar.triangulate_midpoint_depths(R, t, x1, x2)
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    X = d1[..., None] * x1h                               # points in cam1 frame
+    c2 = -R.T @ t                                         # cam2 center in cam1 frame
+    r1 = -X
+    r2 = c2[None] - X
+    cosang = jnp.sum(r1 * r2, axis=-1) / jnp.clip(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+    )
+    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    good = inl_final & (d1 > 0) & (d2 > 0)
+    med_ang = _median_masked(ang, good)
+    return q, t, inl_final, jnp.sum(inl_final.astype(jnp.int32)), med_ang
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def estimate_relative_poses(
+    key: jax.Array,
+    x1: jnp.ndarray,        # [P, M, 2] normalized camera coords in image i
+    x2: jnp.ndarray,        # [P, M, 2] normalized camera coords in image j
+    mask: jnp.ndarray,      # [P, M] bool
+    thres_sq: jnp.ndarray,  # [P] squared Sampson threshold (normalized coords)
+    num_hypotheses: int = 64,
+) -> TwoViewResult:
+    """Estimate relative pose for all pairs in one batched kernel."""
+    P = x1.shape[0]
+    keys = jax.random.split(key, P)
+    q, t, inl, n, ang = jax.vmap(
+        lambda k, a, b, m, th: _estimate_one(k, a, b, m, th, num_hypotheses)
+    )(keys, x1, x2, mask, thres_sq)
+    return TwoViewResult(q, t, inl, n, ang)
