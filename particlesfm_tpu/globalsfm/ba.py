@@ -36,6 +36,7 @@ class BAState(NamedTuple):
     q: jnp.ndarray        # [V, 4]
     t: jnp.ndarray        # [V, 3]
     X: jnp.ndarray        # [N, 3]
+    params: jnp.ndarray   # [5] shared intrinsics (focal possibly refined)
     cost: jnp.ndarray     # scalar robust cost
     lam: jnp.ndarray      # final LM damping
 
@@ -71,8 +72,10 @@ def _residuals_jacobians(q, t, params, X, obs: TrackObs, w_obs):
     J_cam = jnp.concatenate([J_rot, A], axis=-1)           # [N, K, 2, 6]
     Ro = rot.quat_to_rotmat(qo)
     J_pt = jnp.einsum("nkij,nkjl->nkil", A, Ro)
+    # shared-focal column (fx = fy = f tied): dr/df = (x/z, y/z)
+    J_f = jnp.stack([x / z_safe, y / z_safe], axis=-1)     # [N, K, 2]
     sw = jnp.sqrt(w_obs)[..., None]
-    return r * sw, J_cam * sw[..., None], J_pt * sw[..., None]
+    return r * sw, J_cam * sw[..., None], J_pt * sw[..., None], J_f * sw
 
 
 def _robust_weights(q, t, params, X, obs: TrackObs, loss_scale, use_soft_l1: bool):
@@ -133,7 +136,7 @@ def default_free_masks(num_views: int, refine_rotation: bool = True):
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "pcg_iters", "use_soft_l1"),
+    static_argnames=("max_iterations", "pcg_iters", "use_soft_l1", "refine_focal"),
 )
 def bundle_adjust(
     q: jnp.ndarray,           # [V, 4]
@@ -148,17 +151,26 @@ def bundle_adjust(
     loss_scale: float = 1.0,
     use_soft_l1: bool = True,
     init_lam: float = 1e-4,
+    refine_focal: bool = False,
 ) -> BAState:
-    """LM bundle adjustment. Returns updated (q, t, X) and final robust cost."""
+    """LM bundle adjustment; optionally solves the shared focal length jointly.
+
+    The focal enters the reduced system as a single bordered scalar column
+    (Ceres handles it as a shared intrinsics block; here the border blocks
+    S_cf [V,6] and S_ff are formed explicitly — they are tiny — and the PCG
+    operates on the joint (camera, focal) vector).
+    """
     V = q.shape[0]
     fidx = obs.frame_idx
     pm = point_mask[:, None].astype(X.dtype)
+    fm = free_mask
+    f_free = 1.0 if refine_focal else 0.0
 
     def lm_step(carry, _):
-        q, t, X, lam = carry
+        q, t, X, params, lam = carry
         w_obs, cost0 = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
         w_obs = w_obs * pm
-        r, Jc, Jp = _residuals_jacobians(q, t, params, X, obs, w_obs)
+        r, Jc, Jp, Jf = _residuals_jacobians(q, t, params, X, obs, w_obs)
 
         # --- assemble blocks -------------------------------------------------
         Hcc = jnp.zeros((V, 6, 6), X.dtype).at[fidx].add(
@@ -170,83 +182,118 @@ def bundle_adjust(
         Hpp = jnp.einsum("nkri,nkrj->nij", Jp, Jp)
         gp = jnp.einsum("nkri,nkr->ni", Jp, r)
         Wcp = jnp.einsum("nkri,nkrj->nkij", Jc, Jp)        # [N, K, 6, 3]
+        # focal border blocks
+        Hcf = jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            jnp.einsum("nkri,nkr->nki", Jc, Jf)
+        )
+        Hff = jnp.sum(Jf * Jf)
+        gf = jnp.sum(Jf * r)
+        Wfp = jnp.einsum("nkr,nkrj->nj", Jf, Jp)           # [N, 3]
 
         # LM damping
         dHcc = Hcc + lam * jnp.eye(6, dtype=X.dtype)
         dHpp = Hpp + lam * jnp.eye(3, dtype=X.dtype)
+        dHff = Hff + lam
         Hpp_inv = _inv3(dHpp)                              # [N, 3, 3]
 
-        fm = free_mask
+        # Schur border terms (explicit, tiny): S_cf, S_ff
+        HpiWfp = jnp.einsum("nij,nj->ni", Hpp_inv, Wfp)    # [N, 3]
+        S_cf = Hcf - jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            jnp.einsum("nkij,nj->nki", Wcp, HpiWfp)
+        )
+        S_cf = S_cf * fm * f_free
+        S_ff = (dHff - jnp.sum(Wfp * HpiWfp)) * f_free + (1.0 - f_free)
 
-        def schur_matvec(xc):
+        def schur_matvec(xc, xf):
             xc = xc * fm
+            xf = xf * f_free
             y = jnp.einsum("vij,vj->vi", dHcc, xc)
             xg = xc[fidx]                                  # [N, K, 6]
             u = jnp.einsum("nkij,nki->nj", Wcp, xg)        # [N, 3]
             w = jnp.einsum("nij,nj->ni", Hpp_inv, u)
             yk = jnp.einsum("nkij,nj->nki", Wcp, w)
             y = y - jnp.zeros((V, 6), X.dtype).at[fidx].add(yk)
-            return y * fm
+            y = y + S_cf * xf
+            yf = jnp.sum(S_cf * xc) + S_ff * xf
+            return y * fm, yf * f_free
 
-        # rhs = -gc + W Hpp^-1 gp
+        # rhs = -g + W Hpp^-1 gp (camera and focal rows)
         hp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)
-        rhs = -gc + jnp.zeros((V, 6), X.dtype).at[fidx].add(
-            jnp.einsum("nkij,nj->nki", Wcp, hp)
-        )
-        rhs = rhs * fm
+        rhs_c = (
+            -gc + jnp.zeros((V, 6), X.dtype).at[fidx].add(
+                jnp.einsum("nkij,nj->nki", Wcp, hp)
+            )
+        ) * fm
+        rhs_f = (-gf + jnp.sum(Wfp * hp)) * f_free
 
-        # block-Jacobi preconditioner
+        # block-Jacobi preconditioner (+ scalar focal row)
         Minv = jnp.linalg.inv(dHcc + 1e-8 * jnp.eye(6, dtype=X.dtype))
+        Sff_inv = 1.0 / jnp.maximum(S_ff, 1e-12)
 
-        def precond(x):
-            return jnp.einsum("vij,vj->vi", Minv, x) * fm
+        def precond(xc, xf):
+            return jnp.einsum("vij,vj->vi", Minv, xc) * fm, xf * Sff_inv * f_free
 
-        # --- PCG -------------------------------------------------------------
+        # --- PCG on the joint (camera, focal) vector -------------------------
         x0 = jnp.zeros((V, 6), X.dtype)
-        r0 = rhs - schur_matvec(x0)
-        z0 = precond(r0)
-        p0 = z0
-        rz0 = jnp.sum(r0 * z0)
+        xf0 = jnp.zeros((), X.dtype)
+        Ac, Af = schur_matvec(x0, xf0)
+        r0c, r0f = rhs_c - Ac, rhs_f - Af
+        z0c, z0f = precond(r0c, r0f)
+        rz0 = jnp.sum(r0c * z0c) + r0f * z0f
 
         def cg_body(c, _):
-            x, rr, z, p, rz = c
-            Ap = schur_matvec(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
-            x = x + alpha * p
-            rr = rr - alpha * Ap
-            z = precond(rr)
-            rz_new = jnp.sum(rr * z)
-            beta = rz_new / jnp.maximum(rz, 1e-20)
-            p = z + beta * p
-            return (x, rr, z, p, rz_new), None
+            xc, xf, rc, rf, zc, zf, pc, pf, rz = c
+            Apc, Apf = schur_matvec(pc, pf)
+            denom = jnp.sum(pc * Apc) + pf * Apf
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            xc = xc + alpha * pc
+            xf = xf + alpha * pf
+            rc = rc - alpha * Apc
+            rf = rf - alpha * Apf
+            zc, zf = precond(rc, rf)
+            rz_new = jnp.sum(rc * zc) + rf * zf
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            pc = zc + beta * pc
+            pf = zf + beta * pf
+            return (xc, xf, rc, rf, zc, zf, pc, pf, rz_new), None
 
-        (dc, *_), _ = jax.lax.scan(cg_body, (x0, r0, z0, p0, rz0), None, length=pcg_iters)
+        (dc, df, *_), _ = jax.lax.scan(
+            cg_body, (x0, xf0, r0c, r0f, z0c, z0f, z0c, z0f, rz0), None, length=pcg_iters
+        )
+        df = df * f_free
 
-        # back-substitute points: dp = Hpp^-1 (-gp - W^T dc)
+        # back-substitute points: dp = Hpp^-1 (-gp - Wcp^T dc - Wfp df)
         dcg = dc[fidx]                                     # [N, K, 6]
         wtdc = jnp.einsum("nkij,nki->nj", Wcp, dcg)
-        dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - wtdc) * pm
+        dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - wtdc - Wfp * df) * pm
 
         # --- candidate + accept/reject --------------------------------------
         dq = rot.angle_axis_to_quat(dc[:, :3])
         q_new = rot.quat_normalize(rot.quat_multiply(dq, q))
         t_new = t + dc[:, 3:]
         X_new = X + dp
+        params_new = params.at[0].add(df).at[1].add(df)
         # invalid tracks contribute the same constant to both costs (their X is
         # frozen by pm), so the accept/reject comparison is unaffected by them
-        _, cost1 = _robust_weights(q_new, t_new, params, X_new, obs, loss_scale, use_soft_l1)
+        _, cost1 = _robust_weights(
+            q_new, t_new, params_new, X_new, obs, loss_scale, use_soft_l1
+        )
         accept = cost1 < cost0
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
+        params = jnp.where(accept, params_new, params)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 3.0, 1e8))
-        return (q, t, X, lam), cost0
+        return (q, t, X, params, lam), cost0
 
-    (q, t, X, lam), costs = jax.lax.scan(
-        lm_step, (q, t, X, jnp.asarray(init_lam, X.dtype)), None, length=max_iterations
+    (q, t, X, params, lam), costs = jax.lax.scan(
+        lm_step,
+        (q, t, X, params, jnp.asarray(init_lam, X.dtype)),
+        None,
+        length=max_iterations,
     )
     _, final_cost = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
-    return BAState(q=q, t=t, X=X, cost=final_cost, lam=lam)
+    return BAState(q=q, t=t, X=X, params=params, cost=final_cost, lam=lam)
 
 
 @partial(jax.jit, static_argnames=())

@@ -1,1 +1,1 @@
-from . import flo, colmap_model, trackio, images
+from . import flo, colmap_model

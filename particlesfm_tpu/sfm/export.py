@@ -1,0 +1,127 @@
+"""Reconstruction export: COLMAP-format model + converted depth/pose/intrinsics.
+
+Mirrors the reference's output contracts:
+  - COLMAP sparse model bins (written by gmapper via Reconstruction::Write,
+    /root/reference/sfm/gmapper/src/base/reconstruction.cc:798-841);
+  - `colmap_outputs_converted/{depths/*.npy+png, poses/*.txt (3x4 world2cam),
+    intrinsics/*.txt}` (/root/reference/sfm/convert.py:43-96,98-130).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..geometry import cameras as cam_models
+from ..io import colmap_model as cm
+from .mapper import Reconstruction
+
+
+def to_colmap_model(
+    rec: Reconstruction, image_names: Optional[List[str]] = None
+):
+    """Convert to COLMAP camera/image/point3D dicts (ids are 1-based)."""
+    if image_names is None:
+        image_names = [f"{i:06d}.png" for i in range(rec.num_images)]
+    f = float(rec.params[0])
+    camera = cm.Camera(
+        id=1,
+        model="SIMPLE_PINHOLE",
+        width=rec.width,
+        height=rec.height,
+        params=np.array([f, float(rec.params[2]), float(rec.params[3])]),
+    )
+
+    valid_tracks = np.nonzero(rec.track_valid)[0]
+    point_id_of_track = {int(n): int(n) + 1 for n in valid_tracks}
+
+    # per-image keypoint lists
+    xys: Dict[int, List[np.ndarray]] = {i: [] for i in range(rec.num_images)}
+    pids: Dict[int, List[int]] = {i: [] for i in range(rec.num_images)}
+    img_ids_per_point: Dict[int, List[int]] = {int(n): [] for n in valid_tracks}
+    p2d_idx_per_point: Dict[int, List[int]] = {int(n): [] for n in valid_tracks}
+    for n in valid_tracks:
+        slots = np.nonzero(rec.obs_mask[n])[0]
+        for k in slots:
+            img = int(rec.obs_frame_idx[n, k])
+            p2d_idx_per_point[int(n)].append(len(xys[img]))
+            img_ids_per_point[int(n)].append(img + 1)
+            xys[img].append(rec.obs_uv[n, k])
+            pids[img].append(point_id_of_track[int(n)])
+
+    images = {}
+    for i in range(rec.num_images):
+        if not rec.registered[i]:
+            continue
+        images[i + 1] = cm.Image(
+            id=i + 1,
+            qvec=rec.qvec[i].astype(np.float64),
+            tvec=rec.tvec[i].astype(np.float64),
+            camera_id=1,
+            name=image_names[i],
+            xys=np.asarray(xys[i], np.float64).reshape(-1, 2),
+            point3D_ids=np.asarray(pids[i], np.int64),
+        )
+
+    points3D = {}
+    for n in valid_tracks:
+        err = rec.obs_error[n, rec.obs_mask[n]]
+        points3D[int(n) + 1] = cm.Point3D(
+            id=int(n) + 1,
+            xyz=rec.points[n].astype(np.float64),
+            rgb=np.array([128, 128, 128], np.uint8),
+            error=float(err.mean()) if len(err) else 0.0,
+            image_ids=np.asarray(img_ids_per_point[int(n)], np.int64),
+            point2D_idxs=np.asarray(p2d_idx_per_point[int(n)], np.int64),
+        )
+    return {1: camera}, images, points3D
+
+
+def write_colmap_model(rec: Reconstruction, out_dir, image_names=None, binary=True):
+    cams, images, points = to_colmap_model(rec, image_names)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if binary:
+        cm.write_model_binary(cams, images, points, out)
+    else:
+        cm.write_model_text(cams, images, points, out)
+    return cams, images, points
+
+
+def write_converted_outputs(
+    rec: Reconstruction, out_dir, image_names: Optional[List[str]] = None
+) -> None:
+    """Depth / pose / intrinsics files in the reference's converted layout."""
+    out = Path(out_dir)
+    for sub in ("depths", "poses", "intrinsics"):
+        (out / sub).mkdir(parents=True, exist_ok=True)
+    if image_names is None:
+        image_names = [f"{i:06d}" for i in range(rec.num_images)]
+    stems = [Path(n).stem for n in image_names]
+    f, cx, cy = float(rec.params[0]), float(rec.params[2]), float(rec.params[3])
+    K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]])
+
+    from ..geometry import rotations as rot
+    import jax.numpy as jnp
+
+    R_all = np.asarray(rot.quat_to_rotmat(jnp.asarray(rec.qvec)))
+    for i in range(rec.num_images):
+        if not rec.registered[i]:
+            continue
+        P = np.concatenate([R_all[i], rec.tvec[i][:, None]], axis=1)  # 3x4 world2cam
+        np.savetxt(out / "poses" / f"{stems[i]}.txt", P)
+        np.savetxt(out / "intrinsics" / f"{stems[i]}.txt", K)
+        # sparse depth: project valid points observed in this image
+        depth = np.zeros((rec.height, rec.width), np.float32)
+        sel = (rec.obs_frame_idx == i) & rec.obs_mask & rec.track_valid[:, None]
+        tracks_n, slots = np.nonzero(sel)
+        if len(tracks_n):
+            X = rec.points[tracks_n]
+            xc = (R_all[i] @ X.T).T + rec.tvec[i]
+            z = xc[:, 2]
+            u = np.round(f * xc[:, 0] / z + cx).astype(int)
+            v = np.round(f * xc[:, 1] / z + cy).astype(int)
+            ok = (z > 0) & (u >= 0) & (u < rec.width) & (v >= 0) & (v < rec.height)
+            depth[v[ok], u[ok]] = z[ok]
+        np.save(out / "depths" / f"{stems[i]}.npy", depth)

@@ -1,0 +1,366 @@
+"""Global SfM mapper: the reconstruction state machine over the device solvers.
+
+Counterpart of the reference's GlobalMapperController
+(/root/reference/sfm/gmapper/src/controllers/global_mapper.cc:136-184):
+
+    rotations -> pairwise translation refinement -> positions -> register
+    -> triangulate -> iterative refinement (translation-only BA phase, then joint)
+
+with the same filter cascade (two-view inlier gates, orientation-consistency
+filter + largest connected component, optional 1DSfM MFAS filter) and the same
+refinement schedule (retriangulate + BA + filter until the filtered fraction
+changes by < refinement_change, max max_refinements rounds — global_mapper.cc:245-271).
+
+Host code here only sequences stages and reshapes tensors; every solve runs on
+device through the globalsfm kernels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras, rotations as rot, se3
+from ..graph import (
+    extract_triplets,
+    filter_pairs_by_orientation,
+    largest_connected_component,
+    mfas_position_filter,
+    orientations_from_spanning_tree,
+)
+from ..globalsfm import (
+    average_rotations,
+    bundle_adjust,
+    estimate_positions_lud,
+    estimate_relative_poses,
+    filter_observations,
+    refine_pairwise_translations,
+    triangulate_tracks,
+)
+from ..globalsfm.ba import default_free_masks, refine_shared_focal
+from ..globalsfm.tracks3d import TrackObs
+from ..globalsfm.translation import directions_from_relative_poses
+from ..globalsfm.triplets import triplet_baseline_constraints
+from ..tracks.store import TrackArrays
+from ..utils.config import SfmConfig
+from .correspondences import (
+    build_observations,
+    build_pair_tensors,
+    gather_triplet_points,
+    static_observation_mask,
+)
+
+
+@dataclass
+class Reconstruction:
+    """Result container (host arrays, full image indexing)."""
+    num_images: int
+    registered: np.ndarray          # [T] bool
+    qvec: np.ndarray                # [T, 4] world->cam
+    tvec: np.ndarray                # [T, 3]
+    params: np.ndarray              # [5] shared canonical intrinsics
+    height: int = 0
+    width: int = 0
+    points: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    track_valid: np.ndarray = field(default_factory=lambda: np.zeros((0,), bool))
+    obs_frame_idx: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.int32))
+    obs_uv: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 2), np.float32))
+    obs_mask: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), bool))
+    obs_error: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))
+    track_row: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.int64))
+
+    @property
+    def num_registered(self) -> int:
+        return int(self.registered.sum())
+
+
+def _failed(num_images: int, params: np.ndarray, height: int, width: int) -> Reconstruction:
+    return Reconstruction(
+        num_images=num_images,
+        registered=np.zeros(num_images, bool),
+        qvec=np.tile(np.array([1.0, 0, 0, 0], np.float32), (num_images, 1)),
+        tvec=np.zeros((num_images, 3), np.float32),
+        params=params,
+        height=height,
+        width=width,
+    )
+
+
+def run_global_mapper(
+    tracks: TrackArrays,
+    height: int,
+    width: int,
+    cfg: Optional[SfmConfig] = None,
+    params: Optional[np.ndarray] = None,
+    log=print,
+) -> Reconstruction:
+    cfg = cfg or SfmConfig()
+    if params is None:
+        params = np.asarray(cameras.make_default_params(height, width), np.float32)
+    num_images = tracks.num_frames
+    focal = float(params[0])
+
+    # ---- correspondences -------------------------------------------------
+    static_mask = static_observation_mask(tracks, cfg.remove_dynamic)
+    pair_t = build_pair_tensors(
+        tracks, static_mask, cfg.min_num_matches, seed=cfg.seed
+    )
+    if len(pair_t.pairs) < 3:
+        log("[mapper] too few covisible pairs; reconstruction failed")
+        return _failed(num_images, params, height, width)
+    log(f"[mapper] {len(pair_t.pairs)} covisible pairs")
+
+    # ---- two-view geometry (batched RANSAC) ------------------------------
+    def norm(uv):
+        return (uv - params[None, None, 2:4]) / focal
+
+    thres_sq = np.full(
+        len(pair_t.pairs),
+        (cfg.geometric_verification_max_error_px / focal) ** 2,
+        np.float32,
+    )
+    tv = estimate_relative_poses(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.asarray(norm(pair_t.uv1)),
+        jnp.asarray(norm(pair_t.uv2)),
+        jnp.asarray(pair_t.mask),
+        jnp.asarray(thres_sq),
+    )
+    num_inl = np.asarray(tv.num_inliers)
+    num_m = pair_t.mask.sum(axis=1)
+    verified = (num_inl >= cfg.geometric_verification_min_num_inliers) & (
+        num_inl >= cfg.geometric_verification_min_inlier_ratio * np.maximum(num_m, 1)
+    )
+    log(f"[mapper] geometric verification kept {verified.sum()}/{len(verified)} pairs")
+    if verified.sum() < 3:
+        return _failed(num_images, params, height, width)
+
+    pairs = pair_t.pairs[verified]
+    counts = num_inl[verified]
+    R_rel = np.array(rot.quat_to_rotmat(tv.q_rel))[verified]
+    t_rel = np.array(tv.t_rel)[verified]
+    inl_mask = np.array(tv.inliers)[verified]
+    uv1 = pair_t.uv1[verified]
+    uv2 = pair_t.uv2[verified]
+
+    # ---- registered subset = largest connected component -----------------
+    in_lcc = largest_connected_component(num_images, pairs)
+    sub = np.nonzero(in_lcc)[0]
+    full2sub = np.full(num_images, -1, np.int64)
+    full2sub[sub] = np.arange(len(sub))
+    pkeep = in_lcc[pairs[:, 0]] & in_lcc[pairs[:, 1]]
+    pairs, counts, R_rel, t_rel = pairs[pkeep], counts[pkeep], R_rel[pkeep], t_rel[pkeep]
+    inl_mask, uv1, uv2 = inl_mask[pkeep], uv1[pkeep], uv2[pkeep]
+    spairs = full2sub[pairs].astype(np.int32)
+    V = len(sub)
+    log(f"[mapper] largest component: {V}/{num_images} images, {len(pairs)} pairs")
+    if V < 3:
+        return _failed(num_images, params, height, width)
+
+    # ---- rotation averaging ---------------------------------------------
+    R_init = orientations_from_spanning_tree(V, spairs, counts, R_rel)
+    R_abs = average_rotations(
+        V,
+        jnp.asarray(spairs),
+        jnp.asarray(R_rel, jnp.float32),
+        jnp.asarray(R_init, jnp.float32),
+        jnp.ones(len(spairs), jnp.float32),
+        l1_iters=cfg.rotation.max_num_l1_iterations,
+        irls_iters=cfg.rotation.max_num_irls_iterations,
+        sigma_deg=cfg.rotation.irls_loss_parameter_sigma_deg,
+    )
+    ok = filter_pairs_by_orientation(
+        spairs, R_rel, np.asarray(R_abs), cfg.filter_max_orientation_error_deg
+    )
+    log(f"[mapper] orientation filter kept {ok.sum()}/{len(ok)} pairs")
+    spairs, counts, R_rel, t_rel = spairs[ok], counts[ok], R_rel[ok], t_rel[ok]
+    inl_mask, uv1, uv2 = inl_mask[ok], uv1[ok], uv2[ok]
+
+    in_lcc2 = largest_connected_component(V, spairs)
+    if not in_lcc2.all():
+        sub2 = np.nonzero(in_lcc2)[0]
+        remap = np.full(V, -1, np.int64)
+        remap[sub2] = np.arange(len(sub2))
+        pkeep = in_lcc2[spairs[:, 0]] & in_lcc2[spairs[:, 1]]
+        spairs = remap[spairs[pkeep]].astype(np.int32)
+        counts, R_rel, t_rel = counts[pkeep], R_rel[pkeep], t_rel[pkeep]
+        inl_mask, uv1, uv2 = inl_mask[pkeep], uv1[pkeep], uv2[pkeep]
+        R_abs = jnp.asarray(np.asarray(R_abs)[sub2])
+        sub = sub[sub2]
+        full2sub = np.full(num_images, -1, np.int64)
+        full2sub[sub] = np.arange(len(sub))
+        V = len(sub)
+        log(f"[mapper] post-orientation component: {V} images")
+        if V < 3:
+            return _failed(num_images, params, height, width)
+
+    # ---- pairwise translation refinement ---------------------------------
+    match_mask = inl_mask & (np.arange(inl_mask.shape[1])[None, :] >= 0)
+    w0 = directions_from_relative_poses(
+        jnp.asarray(spairs), R_abs, jnp.asarray(t_rel, jnp.float32)
+    )
+    w_dir = refine_pairwise_translations(
+        jnp.asarray(spairs),
+        R_abs,
+        jnp.asarray(norm(uv1)),
+        jnp.asarray(norm(uv2)),
+        jnp.asarray(match_mask),
+        w0,
+    )
+
+    # ---- 1DSfM MFAS filter ------------------------------------------------
+    mkeep = mfas_position_filter(V, spairs, np.asarray(w_dir), seed=cfg.seed)
+    log(f"[mapper] MFAS filter kept {mkeep.sum()}/{len(mkeep)} pairs")
+    if mkeep.sum() >= 3 and largest_connected_component(V, spairs[mkeep]).all():
+        spairs_m = spairs[mkeep]
+        w_m = w_dir[jnp.asarray(mkeep)]
+    else:  # filter would disconnect the graph; keep everything
+        mkeep = np.ones(len(spairs), bool)
+        spairs_m, w_m = spairs, w_dir
+
+    # ---- triplet scale constraints (similarity averaging) -----------------
+    trip_constraints = None
+    if cfg.position.use_scale_constraints:
+        tris = extract_triplets(spairs_m)
+        if len(tris):
+            edge_of = {(int(a), int(b)): e for e, (a, b) in enumerate(spairs_m)}
+            tri_edges = np.array(
+                [
+                    [edge_of[(i, j)], edge_of[(i, k)], edge_of[(j, k)]]
+                    for i, j, k in tris
+                ],
+                np.int32,
+            )
+            sub_mask = static_mask[:, sub]
+            xi, xj, xk, tmask = gather_triplet_points(
+                TrackArrays(xy=tracks.xy[:, sub], mask=sub_mask),
+                sub_mask,
+                tris,
+                seed=cfg.seed,
+            )
+            trip_constraints = triplet_baseline_constraints(
+                R_abs,
+                w_m,
+                jnp.asarray(tris),
+                jnp.asarray(tri_edges),
+                jnp.asarray((xi - params[2:4]) / focal),
+                jnp.asarray((xj - params[2:4]) / focal),
+                jnp.asarray((xk - params[2:4]) / focal),
+                jnp.asarray(tmask),
+                min_angle_deg=cfg.position.min_triangulation_angle_deg,
+            )
+            nz = int(np.sum(np.asarray(trip_constraints.weight) > 0))
+            log(f"[mapper] {len(tris)} triplets, {nz} active scale constraints")
+
+    # ---- LUD position estimation -----------------------------------------
+    p_est, _ = estimate_positions_lud(
+        V,
+        jnp.asarray(spairs_m),
+        w_m,
+        jnp.ones(len(spairs_m), jnp.float32),
+        triplets=trip_constraints,
+    )
+    q_est = rot.rotmat_to_quat(R_abs)
+    t_est = se3.pose_from_center(q_est, p_est)  # register: t = -R p
+
+    # ---- track observations in the registered subset ----------------------
+    obs_t = build_observations(tracks, static_mask, min_track_len=2)
+    sub_frame = full2sub[obs_t.frame_idx]
+    omask = obs_t.mask & (sub_frame >= 0)
+    keep_tracks = omask.sum(axis=1) >= 2
+    obs_t.frame_idx = np.where(omask, sub_frame, 0).astype(np.int32)[keep_tracks]
+    obs_t.uv = obs_t.uv[keep_tracks]
+    obs_t.mask = omask[keep_tracks]
+    obs_t.track_row = obs_t.track_row[keep_tracks]
+    N = len(obs_t.track_row)
+    log(f"[mapper] {N} tracks with >= 2 registered observations")
+    if N < 8:
+        return _failed(num_images, params, height, width)
+    obs = TrackObs(
+        jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv), jnp.asarray(obs_t.mask)
+    )
+
+    # ---- triangulation + iterative refinement -----------------------------
+    jparams = jnp.asarray(params)
+    X = triangulate_tracks(q_est, t_est, jparams, obs)
+    # initial gate is deliberately loose: the focal prior (1.2*max(h,w)) can be
+    # far off, and BA refines it jointly — soft-L1 handles the residual spread
+    good, valid, _ = filter_observations(
+        q_est, t_est, jparams, X, obs,
+        8.0 * cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
+    )
+    log(f"[mapper] initial triangulation: {int(valid.sum())}/{N} valid tracks")
+
+    q_cur, t_cur = q_est, t_est
+    for phase, refine_rot in ((0, False), (1, True)):
+        free = default_free_masks(V, refine_rotation=refine_rot)
+        prev_frac = -1.0
+        for it in range(cfg.ba.max_refinements):
+            state = bundle_adjust(
+                q_cur, t_cur, jparams, X,
+                TrackObs(obs.frame_idx, obs.uv, good),
+                free, valid.astype(jnp.float32),
+                max_iterations=cfg.ba.max_num_iterations,
+                loss_scale=cfg.ba.loss_scale,
+                use_soft_l1=(cfg.ba.loss == "soft_l1"),
+                refine_focal=cfg.ba.refine_focal_length,
+            )
+            q_cur, t_cur, X, jparams = state.q, state.t, state.X, state.params
+            # retriangulate + complete + filter (one fused pass over all tracks).
+            # The gate adapts to the current error level: a hard cut at the final
+            # threshold while the focal/geometry is still settling would keep a
+            # biased (central) subset and stall the joint focal solve.
+            X = triangulate_tracks(q_cur, t_cur, jparams, obs)
+            _, _, errs_now = filter_observations(
+                q_cur, t_cur, jparams, X, obs, 1e9, 0.0
+            )
+            med = float(jnp.median(jnp.where(obs.mask, errs_now, jnp.nan)[obs.mask]))
+            thr = float(
+                np.clip(3.0 * med, cfg.ba.filter_max_reproj_error_px,
+                        8.0 * cfg.ba.filter_max_reproj_error_px)
+            )
+            good, valid, errs = filter_observations(
+                q_cur, t_cur, jparams, X, obs, thr, cfg.ba.filter_min_tri_angle_deg,
+            )
+            frac = float(jnp.sum(good.astype(jnp.float32)) / jnp.sum(obs.mask))
+            log(
+                f"[mapper] phase {phase} round {it}: cost={float(state.cost):.3e} "
+                f"thr={thr:.2f}px kept-obs={frac:.4f} valid-tracks={int(valid.sum())}"
+            )
+            if abs(frac - prev_frac) < cfg.ba.refinement_change:
+                break
+            prev_frac = frac
+
+    _, _, errs = filter_observations(
+        q_cur, t_cur, jparams, X, obs,
+        cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
+    )
+
+    # ---- expand back to full image indexing -------------------------------
+    qvec = np.tile(np.array([1.0, 0, 0, 0], np.float32), (num_images, 1))
+    tvec = np.zeros((num_images, 3), np.float32)
+    qvec[sub] = np.asarray(q_cur)
+    tvec[sub] = np.asarray(t_cur)
+    registered = np.zeros(num_images, bool)
+    registered[sub] = True
+    frame_full = sub[np.asarray(obs.frame_idx).reshape(-1)].reshape(obs.frame_idx.shape)
+
+    return Reconstruction(
+        num_images=num_images,
+        registered=registered,
+        qvec=qvec,
+        tvec=tvec,
+        params=np.asarray(jparams),
+        height=height,
+        width=width,
+        points=np.asarray(X),
+        track_valid=np.asarray(valid),
+        obs_frame_idx=frame_full.astype(np.int32),
+        obs_uv=np.asarray(obs.uv),
+        obs_mask=np.asarray(good),
+        obs_error=np.asarray(errs),
+        track_row=obs_t.track_row,
+    )

@@ -1,0 +1,91 @@
+"""End-to-end tests for the global SfM mapper on synthetic scenes."""
+import numpy as np
+import pytest
+
+from particlesfm_tpu.geometry import alignment, se3
+from particlesfm_tpu.sfm import (
+    compute_model_stats,
+    run_global_mapper,
+    to_colmap_model,
+    write_colmap_model,
+    write_converted_outputs,
+)
+from particlesfm_tpu.io import colmap_model as cm
+from particlesfm_tpu.utils.config import SfmConfig
+
+from synthetic import orbit_scene
+
+
+@pytest.fixture(scope="module")
+def recon_and_scene():
+    sc = orbit_scene(num_views=10, num_points=300, pixel_noise=0.3, seed=1)
+    cfg = SfmConfig()
+    cfg.ba.refine_focal_length = False   # scene uses the exact default-prior focal? no:
+    # default prior is 1.2*max(h,w)=768 but gt is 500 — enable refinement instead
+    cfg.ba.refine_focal_length = True
+    rec = run_global_mapper(sc["tracks"], sc["height"], sc["width"], cfg, log=lambda *_: None)
+    return rec, sc
+
+
+def test_mapper_registers_and_recovers_poses(recon_and_scene):
+    rec, sc = recon_and_scene
+    assert rec.num_registered == 10
+    import jax.numpy as jnp
+    c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec)))
+    ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
+    span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+    assert ate < 0.01 * span, f"ATE {ate} vs trajectory span {span}"
+
+
+def test_mapper_focal_recovery(recon_and_scene):
+    rec, _ = recon_and_scene
+    # started from the 1.2*max(h,w)=768 prior; must converge near gt 500
+    assert abs(float(rec.params[0]) - 500.0) < 10.0
+
+
+def test_mapper_stats(recon_and_scene):
+    rec, _ = recon_and_scene
+    stats = compute_model_stats(rec)
+    assert stats["num_reg_images"] == 10
+    assert stats["num_points3D"] > 250
+    assert stats["mean_track_length"] >= 2.0
+    assert stats["mean_reprojection_error_px"] < 1.0
+
+
+def test_colmap_export_roundtrip(recon_and_scene, tmp_path):
+    rec, sc = recon_and_scene
+    cams, images, points = write_colmap_model(rec, tmp_path / "model")
+    cams2, images2, points2 = cm.read_model_binary(tmp_path / "model")
+    assert len(cams2) == 1 and cams2[1].model == "SIMPLE_PINHOLE"
+    assert len(images2) == rec.num_registered
+    assert len(points2) == len(points)
+    i0 = sorted(images2)[0]
+    np.testing.assert_allclose(images2[i0].qvec, images[i0].qvec, atol=1e-6)
+    p0 = sorted(points2)[0]
+    np.testing.assert_allclose(points2[p0].xyz, points[p0].xyz, atol=1e-6)
+
+
+def test_converted_outputs(recon_and_scene, tmp_path):
+    rec, sc = recon_and_scene
+    write_converted_outputs(rec, tmp_path / "conv")
+    poses = sorted((tmp_path / "conv" / "poses").glob("*.txt"))
+    assert len(poses) == rec.num_registered
+    P = np.loadtxt(poses[0])
+    assert P.shape == (3, 4)
+    K = np.loadtxt(sorted((tmp_path / "conv" / "intrinsics").glob("*.txt"))[0])
+    assert K.shape == (3, 3)
+    d = np.load(sorted((tmp_path / "conv" / "depths").glob("*.npy"))[0])
+    assert d.shape == (rec.height, rec.width)
+    assert (d > 0).sum() > 50  # sparse depth present
+
+
+def test_mapper_fails_gracefully_on_garbage():
+    from particlesfm_tpu.tracks.store import TrackArrays
+    rng = np.random.default_rng(0)
+    tracks = TrackArrays(
+        xy=rng.uniform(0, 100, (50, 6, 2)).astype(np.float32),
+        mask=rng.random((50, 6)) < 0.3,
+    )
+    rec = run_global_mapper(tracks, 100, 100, SfmConfig(), log=lambda *_: None)
+    # random tracks: either fails outright or registers nothing meaningful
+    assert rec.num_registered in (0,) or rec.points.shape[0] >= 0
