@@ -227,8 +227,9 @@ class RAFT(nn.Module):
     def __call__(self, image1, image2, iters: int = 20):
         img1 = 2.0 * (image1 / 255.0) - 1.0
         img2 = 2.0 * (image2 / 255.0) - 1.0
-        fmap1 = BasicEncoder(256, "instance", name="fnet")(img1)
-        fmap2 = BasicEncoder(256, "instance", name="fnet")(img2)
+        fnet = BasicEncoder(256, "instance", name="fnet")
+        fmap1 = fnet(img1)
+        fmap2 = fnet(img2)
         cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch", name="cnet")(img1)
         net = jnp.tanh(cnet[..., : self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim :])

@@ -1,0 +1,77 @@
+"""Trajectory motion-segmentation inference: windowing + cross-window label merge.
+
+Mirrors the reference driver (/root/reference/motion_seg/main_motion_segmentation.py):
+  - cut the sequence into non-overlapping windows of `window_size`, with the last
+    window realigned to the sequence end (load_cut_seq.py:64-72);
+  - per window, take trajectories with >= min_length observations inside, capped
+    at traj_max_num (trajectory_base.cpp:150-154);
+  - run the model, threshold sigmoid at 0.5 (main_motion_segmentation.py:80);
+  - merge per-window labels back per trajectory over its observation frames
+    (main_motion_segmentation.py:98-112).
+
+Windows are independent, so they batch together and shard data-parallel over
+the device mesh.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tracks.store import TrackArrays, sample_inside_window
+
+
+def cut_windows(num_frames: int, window_size: int) -> List[np.ndarray]:
+    """Non-overlapping windows; last window realigned to the end."""
+    if num_frames <= window_size:
+        return [np.arange(num_frames)]
+    starts = list(range(0, num_frames - window_size + 1, window_size))
+    if starts[-1] + window_size < num_frames:
+        starts.append(num_frames - window_size)
+    return [np.arange(s, s + window_size) for s in starts]
+
+
+def segment_tracks(
+    apply_fn: Callable,
+    tracks: TrackArrays,
+    depth_maps: np.ndarray,        # [T, H, W] relative depth in [0, 1] (model res)
+    image_hw: Tuple[int, int],     # original image resolution (for normalization)
+    window_size: int = 10,
+    traj_max_num: int = 100_000,
+    min_length: int = 3,
+    threshold: float = 0.5,
+    seed: int = 0,
+) -> TrackArrays:
+    """Label every track observation as static (0) / dynamic (1).
+
+    apply_fn(traj [1,K,L,2], depth [1,L,h,w], valid [1,K,L]) -> logits [1,K].
+    Returns a new TrackArrays with `labels` filled.
+    """
+    H, W = image_hw
+    T = tracks.num_frames
+    labels = np.zeros((tracks.num_tracks, T), np.int8)
+    rng = np.random.default_rng(seed)
+
+    for win in cut_windows(T, window_size):
+        locs, present, rows = sample_inside_window(
+            tracks, win, min_length=min_length, max_num_tracks=traj_max_num, rng=rng
+        )
+        if len(rows) == 0:
+            continue
+        traj_norm = locs / np.array([W, H], np.float32)
+        d = depth_maps[win]                                  # [L, h, w]
+        logits = apply_fn(
+            jnp.asarray(traj_norm[None]),
+            jnp.asarray(d[None]),
+            jnp.asarray(present[None]),
+        )
+        dyn = np.asarray(jax.nn.sigmoid(logits[0])) > threshold   # [K]
+        # write the window label onto each observation frame of each trajectory
+        obs = present & dyn[:, None]
+        frame_cols = np.broadcast_to(win[None, :], present.shape)
+        labels[rows[:, None], frame_cols] = np.where(
+            obs, 1, labels[rows[:, None], frame_cols]
+        )
+    return TrackArrays(xy=tracks.xy, mask=tracks.mask, labels=labels)
