@@ -15,11 +15,15 @@ scale constraints (least_unsquared_deviation_position_estimator.cc:140-177,258-3
     min sum_e || p_i - p_j - s_e w_e ||_1  +  sum_t w_t | (b./b.) s_a - s_b |_1
     s.t. s_e >= 1  (view 0 pinned at the origin)
 
-The constrained L1 program (theia::ConstrainedL1Solver, ADMM) becomes projected
-IRLS with the substitution s = 1 + u, u >= 0: each iteration reweights rows
-elementwise by 1/|r| and solves the normal equations matrix-free with CG — the
-forward/adjoint operators are pure gather/segment-sum kernels, so the whole solve
-stays on device with static shapes.
+The constrained L1 program (theia::ConstrainedL1Solver, ADMM) becomes IRLS with
+block-coordinate descent: given scales, the positions solve three exact VxV
+weighted-Laplacian systems (one per coordinate); given positions, the scales
+solve an ExE system (diagonal from the pair rows + the triplet coupling) and are
+clamped to s >= 1. The joint linear system must NOT be solved unconstrained: it
+has an exact trivial solution (p = 0, s = 0), and only the active s >= 1
+constraint removes that scale null space — solving blockwise with the clamp
+applied inside the iteration keeps every subproblem well-posed. All pieces are
+gather/segment-sum + small dense solves, fully on device with static shapes.
 """
 from __future__ import annotations
 
@@ -155,69 +159,117 @@ def _lud_ops(num_views, edges, w_dir, trip: TripletConstraints):
     b_trip = jnp.stack([tw * (1.0 - r12), tw * (1.0 - r13), tw * (1.0 - r23)], -1)
     return forward, adjoint, b_pair, b_trip
 
-
-@partial(jax.jit, static_argnames=("num_views", "irls_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("num_views", "admm_iters"))
 def estimate_positions_lud(
     num_views: int,
     edges: jnp.ndarray,        # [E, 2] int32
     w_dir: jnp.ndarray,        # [E, 3] unit world directions p_i - p_j
     edge_mask: jnp.ndarray,    # [E] 1.0 valid / 0.0 padded
     triplets: TripletConstraints | None = None,
-    irls_iters: int = 32,
-    cg_iters: int = 64,
-    irls_eps: float = 1e-4,
+    admm_iters: int = 2000,
+    rho: float = 1.0,
 ):
-    """Camera positions [V, 3] (view 0 at origin) + per-edge scales [E]."""
+    """Camera positions [V, 3] (view 0 at origin) + per-edge scales [E].
+
+    Solves the constrained L1 program exactly as the reference does — ADMM in
+    the style of theia::ConstrainedL1Solver (max 400 iterations,
+    least_unsquared_deviation_position_estimator.cc:160-177):
+
+        min ||A z||_1   s.t.  s >= 1,   z = (p, s)
+
+    with splitting y1 = A z (soft-thresholded) and y2 = s (projected to >= 1).
+    The z-update matrix (A^T A + G^T G) is assembled once by vmapping the
+    gather/segment-sum operator over basis vectors and Cholesky-factored once;
+    each iteration is then shrinkage + projection + one triangular solve — all
+    tiny dense ops on device. The s >= 1 constraint is what removes the
+    trivial-solution null direction (p = 0, s = 0) of the homogeneous rows;
+    unconstrained or post-hoc-projected solvers drift toward that collapse.
+    """
     trip = triplets if triplets is not None else TripletConstraints.empty()
-    forward, adjoint, b_pair, b_trip = _lud_ops(num_views, edges, w_dir, trip)
+    V = num_views
+    E = edges.shape[0]
+    T = trip.edge_idx.shape[0]
+    D = 3 * V + E
+    i = edges[:, 0]
+    j = edges[:, 1]
     em = edge_mask[:, None]
+    e12, e13, e23 = trip.edge_idx[:, 0], trip.edge_idx[:, 1], trip.edge_idx[:, 2]
+    b12, b13, b23 = trip.ratios[:, 0], trip.ratios[:, 1], trip.ratios[:, 2]
+    tw = trip.weight
+    r12 = b13 / jnp.maximum(b12, 1e-12)
+    r13 = b23 / jnp.maximum(b12, 1e-12)
+    r23 = b23 / jnp.maximum(b13, 1e-12)
 
-    def normal_matvec(p, u, wp, wt, damp):
-        rp, rtr = forward(p, u)
-        ap, au = adjoint(rp * wp, rtr * wt)
-        return ap + damp * p, au + damp * u
+    def pack(pv, sv):
+        return jnp.concatenate([pv.reshape(-1), sv])
 
-    def cg_solve(wp, wt, p0, u0, damp):
-        bp, bu = adjoint(b_pair * wp, b_trip * wt)
-        Ap, Au = normal_matvec(p0, u0, wp, wt, damp)
-        rp, ru = bp - Ap, bu - Au
-        zp, zu = rp, ru
-        rs = jnp.sum(rp * rp) + jnp.sum(ru * ru)
+    def unpack(z):
+        return z[: 3 * V].reshape(V, 3), z[3 * V :]
 
-        def body(carry, _):
-            p, u, rp, ru, zp, zu, rs = carry
-            Ap, Au = normal_matvec(zp, zu, wp, wt, damp)
-            alpha = rs / jnp.maximum(jnp.sum(zp * Ap) + jnp.sum(zu * Au), 1e-20)
-            p = p + alpha * zp
-            u = u + alpha * zu
-            rp = rp - alpha * Ap
-            ru = ru - alpha * Au
-            rs_new = jnp.sum(rp * rp) + jnp.sum(ru * ru)
-            beta = rs_new / jnp.maximum(rs, 1e-20)
-            zp = rp + beta * zp
-            zu = ru + beta * zu
-            return (p, u, rp, ru, zp, zu, rs_new), None
+    def A_apply(z):
+        pv, sv = unpack(z)
+        pv = pv.at[0].set(0.0)                       # gauge: p0 pinned
+        r_pair = (pv[i] - pv[j] - sv[:, None] * w_dir) * em
+        rA = tw * (r12 * sv[e12] - sv[e13])
+        rB = tw * (r13 * sv[e12] - sv[e23])
+        rC = tw * (r23 * sv[e13] - sv[e23])
+        return r_pair, jnp.stack([rA, rB, rC], axis=-1)
 
-        (p, u, *_), _ = jax.lax.scan(
-            body, (p0, u0, rp, ru, zp, zu, rs), None, length=cg_iters
+    def At_apply(y_pair, y_trip):
+        y_pair = y_pair * em
+        pv = jnp.zeros((V, 3), w_dir.dtype)
+        pv = pv.at[i].add(y_pair)
+        pv = pv.at[j].add(-y_pair)
+        pv = pv.at[0].set(0.0)
+        sv = -jnp.sum(y_pair * w_dir, axis=-1)
+        yA, yB, yC = y_trip[:, 0] * tw, y_trip[:, 1] * tw, y_trip[:, 2] * tw
+        sv = sv.at[e12].add(r12 * yA + r13 * yB)
+        sv = sv.at[e13].add(-yA + r23 * yC)
+        sv = sv.at[e23].add(-yB - yC)
+        return pack(pv, sv)
+
+    # z-update matrix M = A^T A + G^T G (+ identity rows for the pinned gauge)
+    def M_col(z):
+        rp, rt = A_apply(z)
+        col = At_apply(rp, rt)
+        _, sv = unpack(z)
+        return col + pack(jnp.zeros((V, 3), w_dir.dtype), sv)   # + G^T G z
+
+    M = jax.vmap(M_col)(jnp.eye(D, dtype=w_dir.dtype))
+    gauge = jnp.concatenate(
+        [jnp.zeros(3, w_dir.dtype), jnp.ones(D - 3, w_dir.dtype)]
+    )
+    M = M * gauge[:, None] * gauge[None, :] + jnp.diag(1.0 - gauge)
+    M = M + 1e-8 * jnp.eye(D, dtype=w_dir.dtype)
+    cho = jax.scipy.linalg.cho_factor(M)
+
+    kappa = 1.0 / rho
+    h = jnp.ones((E,), w_dir.dtype)                 # constraint s >= 1
+
+    def body(carry, _):
+        z, y1p, y1t, y2, u1p, u1t, u2 = carry
+        # z-update: min ||[A;G]z - [y+(b=0) - u]||^2
+        rhs = At_apply(y1p - u1p, y1t - u1t) + pack(
+            jnp.zeros((V, 3), w_dir.dtype), y2 - u2
         )
-        return p, u
+        z = jax.scipy.linalg.cho_solve(cho, rhs * gauge)
+        Ap, At_ = A_apply(z)
+        _, sv = unpack(z)
+        # y1: soft-threshold (L1 prox); y2: projection onto s >= 1
+        v1p, v1t = Ap + u1p, At_ + u1t
+        y1p = jnp.sign(v1p) * jnp.maximum(jnp.abs(v1p) - kappa, 0.0)
+        y1t = jnp.sign(v1t) * jnp.maximum(jnp.abs(v1t) - kappa, 0.0)
+        y2 = jnp.maximum(sv + u2, h)
+        u1p = u1p + Ap - y1p
+        u1t = u1t + At_ - y1t
+        u2 = u2 + sv - y2
+        return (z, y1p, y1t, y2, u1p, u1t, u2), None
 
-    def irls_body(carry, _):
-        p, u = carry
-        rp, rtr = forward(p, u)
-        res_p = rp - b_pair
-        res_t = rtr - b_trip
-        wp = em / jnp.maximum(jnp.abs(res_p), irls_eps)
-        wt = 1.0 / jnp.maximum(jnp.abs(res_t), irls_eps)
-        p, u = cg_solve(wp, wt, p, u, damp=1e-8)
-        u = jnp.maximum(u, 0.0)          # project scales back to s >= 1
-        return (p, u), None
-
-    p0 = jnp.zeros((num_views, 3), w_dir.dtype)
-    u0 = jnp.zeros((edges.shape[0],), w_dir.dtype)
-    # first pass: plain least squares (unit weights) to leave the origin
-    p, u = cg_solve(em * jnp.ones_like(b_pair), jnp.ones_like(b_trip), p0, u0, 1e-8)
-    u = jnp.maximum(u, 0.0)
-    (p, u), _ = jax.lax.scan(irls_body, (p, u), None, length=irls_iters)
-    return p.at[0].set(0.0), 1.0 + u
+    z0 = pack(jnp.zeros((V, 3), w_dir.dtype), jnp.ones((E,), w_dir.dtype))
+    zeros_p = jnp.zeros((E, 3), w_dir.dtype)
+    zeros_t = jnp.zeros((T, 3), w_dir.dtype)
+    init = (z0, zeros_p, zeros_t, jnp.ones((E,), w_dir.dtype), zeros_p, zeros_t,
+            jnp.zeros((E,), w_dir.dtype))
+    (z, *_), _ = jax.lax.scan(body, init, None, length=admm_iters)
+    pv, sv = unpack(z)
+    return pv.at[0].set(0.0), sv

@@ -1,0 +1,164 @@
+"""Pipeline orchestrator + CLI — counterpart of /root/reference/run_particlesfm.py.
+
+Same three input modes (--image_dir+--output_dir, --workspace_dir with an images
+subfolder, --root_dir looping over sequences — run_particlesfm.py:139-178), same
+stage toggles (--assume_static skips motion segmentation, --skip_sfm stops after
+trajectories, --skip_path_consistency drops the stride-2 optimization), same
+hyperparameter defaults (run_particlesfm.py:124-129).
+
+Usage:
+    python -m particlesfm_tpu.pipeline.run --image_dir IMG --output_dir OUT
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..io.images import load_image_stack
+from ..utils.config import Config, save_config
+from . import stages
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native ParticleSfM pipeline")
+    p.add_argument("--image_dir", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--workspace_dir", type=str, default=None)
+    p.add_argument("--image_folder", type=str, default="images")
+    p.add_argument("--root_dir", type=str, default=None)
+    # stage toggles (run_particlesfm.py:131-138)
+    p.add_argument("--assume_static", action="store_true")
+    p.add_argument("--skip_sfm", action="store_true")
+    p.add_argument("--skip_path_consistency", action="store_true")
+    p.add_argument("--skip_exists", action="store_true")
+    p.add_argument("--keep_intermediate", action="store_true")
+    # hyperparams (run_particlesfm.py:124-129)
+    p.add_argument("--sample_ratio", type=int, default=2)
+    p.add_argument("--flow_check_thres", type=float, default=1.0)
+    p.add_argument("--traj_min_len", type=int, default=3)
+    p.add_argument("--window_size", type=int, default=10)
+    p.add_argument("--traj_max_num", type=int, default=100000)
+    p.add_argument("--sfm_type", type=str, default="global",
+                   choices=["global", "incremental", "glomap"])
+    # weights
+    p.add_argument("--raft_ckpt", type=str, default=None)
+    p.add_argument("--seg_ckpt", type=str, default=None)
+    p.add_argument("--depth_ckpt", type=str, default=None)
+    return p
+
+
+def config_from_args(args) -> Config:
+    cfg = Config()
+    cfg.assume_static = args.assume_static
+    cfg.skip_sfm = args.skip_sfm
+    cfg.skip_exists = args.skip_exists
+    cfg.keep_intermediate = args.keep_intermediate
+    cfg.track.sample_ratio = args.sample_ratio
+    cfg.track.flow_check_thres = args.flow_check_thres
+    cfg.track.traj_min_len = args.traj_min_len
+    cfg.track.skip_path_consistency = args.skip_path_consistency
+    cfg.motionseg.window_size = args.window_size
+    cfg.motionseg.traj_max_num = args.traj_max_num
+    cfg.sfm.sfm_type = args.sfm_type
+    cfg.flow.checkpoint = args.raft_ckpt
+    cfg.motionseg.checkpoint = args.seg_ckpt
+    return cfg
+
+
+def _load_raft_apply(cfg: Config):
+    if cfg.flow.checkpoint is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+    from flax.serialization import msgpack_restore
+    from ..models.raft import RAFT
+
+    model = RAFT(num_levels=cfg.flow.corr_levels, radius=cfg.flow.corr_radius)
+    with open(cfg.flow.checkpoint, "rb") as f:
+        variables = msgpack_restore(f.read())
+    iters = cfg.flow.iters
+
+    @jax.jit
+    def apply(img1, img2):
+        return model.apply(variables, jnp.asarray(img1), jnp.asarray(img2), iters=iters)
+
+    return apply
+
+
+def _load_seg_apply(cfg: Config):
+    if cfg.motionseg.checkpoint is None:
+        return None
+    import jax
+    from flax.serialization import msgpack_restore
+    from ..models.motionseg import TrajOADepth
+
+    model = TrajOADepth(input_hw=tuple(cfg.motionseg.resolution))
+    with open(cfg.motionseg.checkpoint, "rb") as f:
+        variables = msgpack_restore(f.read())
+
+    @jax.jit
+    def apply(traj, depth, valid):
+        return model.apply(variables, traj, depth, valid, train=False)
+
+    return apply
+
+
+def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
+    """Run the staged pipeline on one sequence (particlesfm() parity)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, out / "config.json")
+    images, names = load_image_stack(image_dir)
+    T, H, W = images.shape[:3]
+    log(f"[pipeline] {T} frames at {W}x{H} from {image_dir}")
+
+    # stage 1+2: flow -> trajectories
+    flows = stages.flow_stage(images, out, cfg, _load_raft_apply(cfg), log=log)
+    tracks = stages.tracking_stage(flows, H, W, out, cfg, log=log)
+
+    # stage 3: motion segmentation (skipped with --assume_static)
+    if not cfg.assume_static:
+        seg_apply = _load_seg_apply(cfg)
+        if seg_apply is None:
+            log("[pipeline] no segmentation checkpoint; treating scene as static")
+        else:
+            depths = stages.depth_stage(images, out, cfg, None, log=log)
+            tracks = stages.motionseg_stage(
+                tracks, depths, (H, W), out, cfg, seg_apply, log=log
+            )
+
+    # stage 4: global SfM
+    if not cfg.skip_sfm:
+        rec = stages.sfm_stage(tracks, H, W, out, cfg, names, log=log)
+        return rec
+    return tracks
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    jobs = []
+    if args.root_dir:  # loop over sequences (run_particlesfm.py:168-176)
+        for seq in sorted(Path(args.root_dir).iterdir()):
+            img = seq / args.image_folder
+            if img.is_dir():
+                jobs.append((img, seq / "particlesfm_tpu"))
+    elif args.workspace_dir:
+        ws = Path(args.workspace_dir)
+        jobs.append((ws / args.image_folder, ws / "particlesfm_tpu"))
+    elif args.image_dir and args.output_dir:
+        jobs.append((Path(args.image_dir), Path(args.output_dir)))
+    else:
+        print("need --image_dir+--output_dir, --workspace_dir, or --root_dir",
+              file=sys.stderr)
+        return 2
+    for img_dir, out_dir in jobs:
+        run_pipeline(img_dir, out_dir, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

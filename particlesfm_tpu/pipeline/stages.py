@@ -1,0 +1,209 @@
+"""Pipeline stages with the reference's on-disk contracts + skip-exists restart.
+
+Stage sequencing mirrors /root/reference/run_particlesfm.py:99-119
+(flow -> trajectories -> motion seg -> sfm), with the same inter-stage file
+contracts (SURVEY.md §1): Middlebury .flo flow dirs, track files, 16-bit depth
+PNGs, COLMAP model output — so each stage can consume outputs produced by the
+reference and vice versa. `--skip_exists` short-circuits a stage when its output
+already exists (run_particlesfm.py:136 semantics).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io import flo as flo_io
+from ..io.images import read_depth_png16, write_depth_png16
+from ..ops.flow_ops import flow_check
+from ..tracks.engine import TrackerConfig, run_tracker
+from ..tracks.store import TrackArrays, assemble_tracks
+from ..utils.config import Config
+from ..sfm import (
+    compute_model_stats,
+    format_model_stats,
+    run_global_mapper,
+    write_colmap_model,
+    write_converted_outputs,
+)
+
+
+def _flow_dir_complete(d: Path, expected: int) -> bool:
+    return d.is_dir() and len(list(d.glob("*.flo"))) >= expected
+
+
+def flow_stage(
+    images: np.ndarray,            # [T, H, W, 3] float32
+    out_dir: Path,
+    cfg: Config,
+    raft_apply: Optional[Callable] = None,   # (img1, img2) -> flow [H, W, 2]
+    log=print,
+):
+    """Pairwise forward/backward flow at stride 1 (and 2 unless disabled).
+
+    Writes flow_f/, flow_b/ (+ flow_f2/, flow_b2/) of .flo files — the
+    reference's RAFT-stage contract (run_particlesfm.py:31-36). If the flow
+    directories already exist (e.g. produced by the reference's RAFT), they are
+    reused; otherwise `raft_apply` must be provided (native RAFT inference).
+    """
+    T = images.shape[0]
+    use_pc = not cfg.track.skip_path_consistency
+    dirs = {"flow_f": 1, "flow_b": -1}
+    if use_pc:
+        dirs.update({"flow_f2": 2, "flow_b2": -2})
+    flow_root = Path(out_dir) / "optical_flows"
+    result = {}
+    for name, stride in dirs.items():
+        d = flow_root / name
+        npairs = T - abs(stride)
+        if cfg.skip_exists and _flow_dir_complete(d, npairs):
+            log(f"[flow] {name}: reusing {npairs} existing .flo files")
+            result[name] = np.stack(
+                [flo_io.read_flo(p) for p in sorted(d.glob("*.flo"))]
+            )
+            continue
+        if raft_apply is None:
+            raise RuntimeError(
+                f"flow stage: no precomputed flow at {d} and no RAFT weights "
+                "provided (pass --raft_ckpt or precompute flow)"
+            )
+        d.mkdir(parents=True, exist_ok=True)
+        flows = []
+        for i in range(npairs):
+            a, b = (i, i + abs(stride)) if stride > 0 else (i + abs(stride), i)
+            flow = np.asarray(raft_apply(images[a], images[b]))
+            flows.append(flow)
+            flo_io.write_flo(d / f"{i:06d}.flo", flow)
+        result[name] = np.stack(flows)
+        log(f"[flow] {name}: computed {npairs} pairs")
+    return result
+
+
+def tracking_stage(
+    flows: dict,
+    height: int,
+    width: int,
+    out_dir: Path,
+    cfg: Config,
+    log=print,
+) -> TrackArrays:
+    """Occlusion checks + scan tracker + path consistency -> padded tracks.
+
+    Output: trajectories/tracks.npz (+ reference-format track dict via
+    TrackArrays.to_reference_dict for interop)."""
+    traj_dir = Path(out_dir) / "trajectories"
+    traj_path = traj_dir / "tracks.npz"
+    if cfg.skip_exists and traj_path.exists():
+        log("[tracks] reusing existing tracks.npz")
+        return TrackArrays.load(traj_path)
+    traj_dir.mkdir(parents=True, exist_ok=True)
+
+    ff = jnp.asarray(flows["flow_f"])
+    fb = jnp.asarray(flows["flow_b"])
+    occ, _ = flow_check(ff, fb, cfg.track.flow_check_thres)
+    use_pc = "flow_f2" in flows
+    if use_pc:
+        ff2 = jnp.asarray(flows["flow_f2"])
+        fb2 = jnp.asarray(flows["flow_b2"])
+        occ2, _ = flow_check(ff2, fb2, cfg.track.flow_check_thres)
+    else:
+        ff2, occ2 = None, None
+
+    tcfg = TrackerConfig(
+        sample_ratio=cfg.track.sample_ratio,
+        capacity=cfg.track.capacity,
+        path_consistency=use_pc,
+    )
+    out = run_tracker(ff, occ, ff2, occ2, tcfg, height, width)
+    tracks = assemble_tracks(out, min_len=cfg.track.traj_min_len)
+    tracks.save(traj_path)
+    log(f"[tracks] {tracks.num_tracks} tracks over {tracks.num_frames} frames "
+        f"(overflow={int(out.overflow)})")
+    return tracks
+
+
+def depth_stage(
+    images: np.ndarray,
+    out_dir: Path,
+    cfg: Config,
+    depth_apply: Optional[Callable] = None,   # (img) -> depth [H, W]
+    log=print,
+) -> np.ndarray:
+    """Per-frame relative depth, 16-bit PNG contract (run_midas parity)."""
+    d = Path(out_dir) / "depth"
+    T = images.shape[0]
+    existing = sorted(d.glob("*.png")) if d.is_dir() else []
+    if cfg.skip_exists and len(existing) >= T:
+        log(f"[depth] reusing {T} existing depth PNGs")
+        return np.stack([read_depth_png16(p) for p in existing[:T]])
+    if depth_apply is None:
+        raise RuntimeError(
+            f"depth stage: no precomputed depth at {d} and no depth weights provided"
+        )
+    d.mkdir(parents=True, exist_ok=True)
+    from ..models.depth import normalize_depth
+
+    out = []
+    for i in range(T):
+        dep = np.asarray(normalize_depth(jnp.asarray(depth_apply(images[i]))))
+        write_depth_png16(d / f"{i:06d}.png", dep)
+        out.append(dep)
+    log(f"[depth] computed {T} frames")
+    return np.stack(out)
+
+
+def motionseg_stage(
+    tracks: TrackArrays,
+    depths: np.ndarray,
+    image_hw,
+    out_dir: Path,
+    cfg: Config,
+    seg_apply: Optional[Callable] = None,
+    log=print,
+) -> TrackArrays:
+    """Label tracks dynamic/static; writes trajectories_labeled/tracks.npz."""
+    labeled_path = Path(out_dir) / "trajectories_labeled" / "tracks.npz"
+    if cfg.skip_exists and labeled_path.exists():
+        log("[motionseg] reusing existing labeled tracks")
+        return TrackArrays.load(labeled_path)
+    if seg_apply is None:
+        raise RuntimeError("motion-seg stage: no segmentation weights provided")
+    from ..motionseg import segment_tracks
+
+    labeled = segment_tracks(
+        seg_apply, tracks, depths, image_hw,
+        window_size=cfg.motionseg.window_size,
+        traj_max_num=cfg.motionseg.traj_max_num,
+    )
+    labeled_path.parent.mkdir(parents=True, exist_ok=True)
+    labeled.save(labeled_path)
+    frac = float(labeled.labels[labeled.mask].mean()) if labeled.mask.any() else 0.0
+    log(f"[motionseg] dynamic fraction: {frac:.3f}")
+    return labeled
+
+
+def sfm_stage(
+    tracks: TrackArrays,
+    height: int,
+    width: int,
+    out_dir: Path,
+    cfg: Config,
+    image_names=None,
+    log=print,
+):
+    """Global SfM -> COLMAP model + converted outputs + stats (main_sfm parity)."""
+    model_dir = Path(out_dir) / "sfm" / "model"
+    if cfg.skip_exists and (model_dir / "images.bin").exists():
+        log("[sfm] reusing existing model")
+        return None
+    rec = run_global_mapper(tracks, height, width, cfg.sfm, log=log)
+    write_colmap_model(rec, model_dir, image_names)
+    write_converted_outputs(rec, Path(out_dir) / "colmap_outputs_converted", image_names)
+    stats = compute_model_stats(rec)
+    log(format_model_stats(stats))
+    with open(Path(out_dir) / "sfm" / "stats.txt", "w") as f:
+        f.write(format_model_stats(stats) + "\n")
+    return rec

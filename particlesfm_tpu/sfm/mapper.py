@@ -225,6 +225,9 @@ def run_global_mapper(
     trip_constraints = None
     if cfg.position.use_scale_constraints:
         tris = extract_triplets(spairs_m)
+        if len(tris) > 2000:  # dense view graphs: cap the constraint set
+            sel = np.random.default_rng(cfg.seed).choice(len(tris), 2000, replace=False)
+            tris = tris[np.sort(sel)]
         if len(tris):
             edge_of = {(int(a), int(b)): e for e, (a, b) in enumerate(spairs_m)}
             tri_edges = np.array(

@@ -1,0 +1,68 @@
+"""Physically consistent synthetic flow scenes: height-field + moving camera.
+
+Generates ground-truth optical flow by ray-casting a smooth world surface
+z = g(x, y) from known camera poses — every pixel's flow corresponds to a real
+static 3D point, so the full pipeline (tracking -> SfM) must recover the camera
+trajectory. This is the system-level fixture the verify skill describes.
+"""
+import numpy as np
+
+
+def surface(x, y):
+    return 0.6 * np.sin(1.3 * x) * np.cos(0.9 * y) + 0.3 * np.sin(2.3 * x + 1.0)
+
+
+def make_cameras(num_views, step=0.35, height=5.0):
+    """World: surface near z=0, cameras at z~height looking straight down."""
+    centers = np.stack(
+        [step * np.arange(num_views), 0.08 * np.sin(np.arange(num_views)),
+         np.full(num_views, height)], axis=1
+    )
+    R = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])  # world->cam, det=+1
+    Rs = np.tile(R, (num_views, 1, 1))
+    ts = np.stack([-R @ c for c in centers])
+    return Rs, ts, centers
+
+
+def ray_cast(C, d, iters=25):
+    """Solve C + s*d on the surface. C: (3,), d: (..., 3). Returns points (..., 3)."""
+    s = (0.0 - C[2]) / d[..., 2]
+    for _ in range(iters):
+        x = C[0] + s * d[..., 0]
+        y = C[1] + s * d[..., 1]
+        z = surface(x, y)
+        s = (z - C[2]) / d[..., 2]
+    return C + s[..., None] * d
+
+
+def flow_pair(Ra, ta, Rb, tb, K, height, width):
+    """GT flow from image a to image b over all pixels, [H, W, 2]."""
+    fx, fy, cx, cy = K
+    us, vs = np.meshgrid(np.arange(width, dtype=np.float64),
+                         np.arange(height, dtype=np.float64))
+    rays_cam = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)], -1)
+    d = rays_cam @ Ra  # R^T applied to rows
+    Ca = -Ra.T @ ta
+    X = ray_cast(Ca, d)
+    xb = X @ Rb.T + tb
+    ub = fx * xb[..., 0] / xb[..., 2] + cx
+    vb = fy * xb[..., 1] / xb[..., 2] + cy
+    return np.stack([ub - us, vb - vs], -1).astype(np.float32)
+
+
+def make_flow_scene(num_views=8, height=96, width=128, focal=150.0):
+    """Full flow-field scene: all stride-1/2 forward+backward flows + GT poses."""
+    Rs, ts, centers = make_cameras(num_views)
+    K = (focal, focal, width / 2.0, height / 2.0)
+    def pair(a, b):
+        return flow_pair(Rs[a], ts[a], Rs[b], ts[b], K, height, width)
+    flows = {
+        "flow_f": np.stack([pair(i, i + 1) for i in range(num_views - 1)]),
+        "flow_b": np.stack([pair(i + 1, i) for i in range(num_views - 1)]),
+        "flow_f2": np.stack([pair(i, i + 2) for i in range(num_views - 2)]),
+        "flow_b2": np.stack([pair(i + 2, i) for i in range(num_views - 2)]),
+    }
+    return dict(
+        flows=flows, R=Rs, t=ts, centers=centers, K=K,
+        height=height, width=width, focal=focal, num_views=num_views,
+    )

@@ -1,0 +1,78 @@
+"""End-to-end pipeline system test: GT flow -> tracker -> global SfM -> eval.
+
+This is the full spine (minus learned models, which have no released-weight
+source in this environment) exercised through the CLI orchestrator with the
+reference's on-disk contracts (.flo dirs, tracks, COLMAP model).
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+from particlesfm_tpu.geometry import alignment, se3
+from particlesfm_tpu.io import flo as flo_io
+from particlesfm_tpu.pipeline.run import build_arg_parser, config_from_args, run_pipeline
+
+from flow_scenes import make_flow_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seq")
+    sc = make_flow_scene(num_views=8)
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(sc["num_views"]):
+        arr = rng.integers(0, 255, (sc["height"], sc["width"], 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:06d}.png")
+    out_dir = root / "out"
+    for name, flows in sc["flows"].items():
+        flo_io.save_flow_dir(out_dir / "optical_flows" / name, flows)
+    return root, sc
+
+
+def test_full_pipeline_static(scene_dir):
+    root, sc = scene_dir
+    args = build_arg_parser().parse_args(
+        ["--image_dir", str(root / "images"), "--output_dir", str(root / "out"),
+         "--assume_static", "--skip_exists", "--sample_ratio", "4"]
+    )
+    cfg = config_from_args(args)
+    cfg.track.capacity = 1 << 13
+    rec = run_pipeline(root / "images", root / "out", cfg, log=lambda *a: None)
+
+    assert rec is not None
+    assert rec.num_registered == sc["num_views"]
+    import jax.numpy as jnp
+    c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec)))
+    ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
+    span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+    assert ate < 0.05 * span, f"pipeline ATE {ate} vs span {span}"
+
+    # on-disk contracts
+    assert (root / "out" / "trajectories" / "tracks.npz").exists()
+    assert (root / "out" / "sfm" / "model" / "images.bin").exists()
+    assert (root / "out" / "colmap_outputs_converted" / "poses").is_dir()
+    assert (root / "out" / "config.json").exists()
+
+
+def test_skip_exists_restart(scene_dir):
+    root, sc = scene_dir
+    args = build_arg_parser().parse_args(
+        ["--image_dir", str(root / "images"), "--output_dir", str(root / "out"),
+         "--assume_static", "--skip_exists", "--sample_ratio", "4"]
+    )
+    cfg = config_from_args(args)
+    cfg.track.capacity = 1 << 13
+    msgs = []
+    rec = run_pipeline(root / "images", root / "out", cfg, log=lambda *a: msgs.append(" ".join(map(str, a))))
+    text = "\n".join(msgs)
+    assert "reusing" in text  # stages short-circuited on existing outputs
+
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    flow = rng.normal(0, 3, (17, 23, 2)).astype(np.float32)
+    flo_io.write_flo(tmp_path / "x.flo", flow)
+    back = flo_io.read_flo(tmp_path / "x.flo")
+    np.testing.assert_array_equal(back, flow)
