@@ -51,6 +51,11 @@ class _UnionFind:
 
 def connected_components(num_nodes: int, edges: np.ndarray) -> np.ndarray:
     """Component label per node (labels are root indices). edges: [E,2]."""
+    from .. import native
+
+    fast = native.connected_components(num_nodes, np.asarray(edges).reshape(-1, 2))
+    if fast is not None:
+        return fast
     uf = _UnionFind(num_nodes)
     for a, b in np.asarray(edges, np.int64):
         uf.union(int(a), int(b))
@@ -71,6 +76,11 @@ def maximum_spanning_tree(num_nodes: int, edges: np.ndarray, weights: np.ndarray
     Mirrors the heap-ordered MST of orientation_util.cc:102-178 (weight =
     num_correspondences, maximized).
     """
+    from .. import native
+
+    fast = native.maximum_spanning_tree(num_nodes, edges, np.asarray(weights))
+    if fast is not None:
+        return fast
     order = np.argsort(-np.asarray(weights))
     uf = _UnionFind(num_nodes)
     chosen = []
@@ -163,6 +173,11 @@ def filter_pairs_by_orientation(
 def _mfas_order(num_nodes: int, edges: np.ndarray, proj: np.ndarray) -> np.ndarray:
     """Greedy minimum-feedback-arc-set ordering (OrderTranslationsFromProjections,
     filter_util.cc:131-180). Returns order index per node."""
+    from .. import native
+
+    fast = native.mfas_order(num_nodes, edges, proj)
+    if fast is not None:
+        return fast.astype(np.int64)
     # direct each edge along positive projection
     a = np.where(proj > 0, edges[:, 0], edges[:, 1])
     b = np.where(proj > 0, edges[:, 1], edges[:, 0])

@@ -1,1 +1,1 @@
-from . import flo, colmap_model
+from . import flo, colmap_model, colmap_db, trackio, images

@@ -57,6 +57,12 @@ def build_observations(
     """
     if mask is None:
         mask = static_observation_mask(tracks)
+    from .. import native
+
+    fast = native.build_observations(mask, tracks.xy, min_track_len, max_obs_per_track)
+    if fast is not None:
+        fi, uv, om, rows = fast
+        return ObsTensors(frame_idx=fi, uv=uv, mask=om, track_row=rows)
     lengths = mask.sum(axis=1)
     rows = np.nonzero(lengths >= min_track_len)[0]
     N = len(rows)
