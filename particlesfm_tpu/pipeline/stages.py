@@ -199,7 +199,14 @@ def sfm_stage(
     if cfg.skip_exists and (model_dir / "images.bin").exists():
         log("[sfm] reusing existing model")
         return None
-    rec = run_global_mapper(tracks, height, width, cfg.sfm, log=log)
+    # sfm_type dispatch (run_particlesfm.py:73-97): global (gmapper parity,
+    # default), incremental (colmap-mapper parity); glomap-mode falls back to
+    # global until its stronger joint positioning lands
+    if cfg.sfm.sfm_type == "incremental":
+        from ..sfm.incremental import run_incremental_mapper as _run
+    else:
+        from ..sfm.mapper import run_global_mapper as _run
+    rec = _run(tracks, height, width, cfg.sfm, log=log)
     write_colmap_model(rec, model_dir, image_names)
     write_converted_outputs(rec, Path(out_dir) / "colmap_outputs_converted", image_names)
     stats = compute_model_stats(rec)

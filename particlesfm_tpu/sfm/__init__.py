@@ -1,4 +1,5 @@
 from .mapper import Reconstruction, run_global_mapper
+from .incremental import run_incremental_mapper
 from .correspondences import (
     ObsTensors,
     PairTensors,
