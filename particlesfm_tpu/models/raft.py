@@ -201,6 +201,32 @@ class BasicUpdateBlock(nn.Module):
         return net, 0.25 * mask, delta
 
 
+class _RAFTIteration(nn.Module):
+    """Scan body: correlation lookup + one GRU update. Parameter paths match
+    BasicUpdateBlock so checkpoint conversion is layout-independent."""
+    radius: int = 4
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, carry, _, inp, pyramid, coords0):
+        net, coords1 = carry
+        if self.use_pallas:
+            from ..ops.corr_lookup import lookup_corr_pyramid_pallas
+
+            corr = lookup_corr_pyramid_pallas(pyramid, coords1, self.radius)
+        else:
+            corr = lookup_corr(pyramid, coords1, self.radius)
+        flow = coords1 - coords0
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(name="gru")(net, x)
+        delta = FlowHead(name="flow_head")(net)
+        mask = nn.Conv(576, (1, 1), name="mask_conv2")(
+            nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
+        )
+        return (net, coords1 + delta), 0.25 * mask
+
+
 def upsample_flow_convex(flow, mask):
     """Convex 8x upsampling: per output pixel a softmax combo of 9 coarse
     neighbors (RAFT's learned upsampling). flow: [H, W, 2], mask: [H, W, 576]."""
@@ -217,11 +243,17 @@ def upsample_flow_convex(flow, mask):
 
 
 class RAFT(nn.Module):
-    """Full RAFT model; call with a pair of images [H, W, 3] in [0, 255]."""
+    """Full RAFT model; call with a pair of images [H, W, 3] in [0, 255].
+
+    The GRU recurrence runs under nn.scan (one compiled iteration body with
+    shared parameters); use_pallas routes the correlation lookup through the
+    windowed-DMA Pallas kernel (ops/corr_lookup.py) on TPU.
+    """
     num_levels: int = 4
     radius: int = 4
     hidden_dim: int = 128
     context_dim: int = 128
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, image1, image2, iters: int = 20):
@@ -234,24 +266,25 @@ class RAFT(nn.Module):
         net = jnp.tanh(cnet[..., : self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim :])
 
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.num_levels)
+        pyramid = tuple(build_corr_pyramid(fmap1, fmap2, self.num_levels))
         H8, W8 = fmap1.shape[0], fmap1.shape[1]
         ys, xs = jnp.meshgrid(
             jnp.arange(H8, dtype=jnp.float32), jnp.arange(W8, dtype=jnp.float32), indexing="ij"
         )
         coords0 = jnp.stack([xs, ys], axis=-1)
-        coords1 = coords0
 
-        update = BasicUpdateBlock(name="update_block")
-
-        flow_up = jnp.zeros((H8 * 8, W8 * 8, 2), jnp.float32)
-        for _ in range(iters):
-            corr = lookup_corr(pyramid, coords1, self.radius)
-            flow = coords1 - coords0
-            net, mask, delta = update(net, inp, corr, flow)
-            coords1 = coords1 + delta
-        flow_up = upsample_flow_convex(coords1 - coords0, mask)
-        return flow_up
+        scan = nn.scan(
+            _RAFTIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            length=iters,
+        )
+        step = scan(self.radius, self.use_pallas, name="update_block")
+        (net, coords1), masks = step(
+            (net, coords0), None, inp, pyramid, coords0
+        )
+        return upsample_flow_convex(coords1 - coords0, masks[-1])
 
 
 def init_raft_params(key, height: int = 64, width: int = 64):

@@ -125,3 +125,77 @@ def write_converted_outputs(
             ok = (z > 0) & (u >= 0) & (u < rec.width) & (v >= 0) & (v < rec.height)
             depth[v[ok], u[ok]] = z[ok]
         np.save(out / "depths" / f"{stems[i]}.npy", depth)
+
+
+def write_nvm(path, rec: "Reconstruction", image_names=None) -> None:
+    """VisualSFM NVM export (reconstruction.cc:918-1040 parity): shared-focal
+    header, per-image <name> <f> <qw qx qy qz> <cx cy cz> 0 0, then points."""
+    import jax.numpy as jnp
+    from ..geometry import se3
+
+    if image_names is None:
+        image_names = [f"{i:06d}.png" for i in range(rec.num_images)]
+    f = float(rec.params[0])
+    reg = np.nonzero(rec.registered)[0]
+    centers = np.asarray(
+        se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec))
+    )
+    lines = ["NVM_V3", "", str(len(reg))]
+    img_order = {int(i): k for k, i in enumerate(reg)}
+    for i in reg:
+        q = rec.qvec[i]
+        c = centers[i]
+        lines.append(
+            f"{image_names[i]} {f} {q[0]} {q[1]} {q[2]} {q[3]} {c[0]} {c[1]} {c[2]} 0 0"
+        )
+    valid = np.nonzero(rec.track_valid)[0]
+    lines.append("")
+    lines.append(str(len(valid)))
+    for n in valid:
+        x = rec.points[n]
+        slots = np.nonzero(rec.obs_mask[n])[0]
+        obs = []
+        for k in slots:
+            img = int(rec.obs_frame_idx[n, k])
+            if img in img_order:
+                u, v = rec.obs_uv[n, k]
+                obs.append(f"{img_order[img]} 0 {u} {v}")
+        lines.append(
+            f"{x[0]} {x[1]} {x[2]} 128 128 128 {len(obs)} " + " ".join(obs)
+        )
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def write_bundler(path, rec: "Reconstruction") -> None:
+    """Bundler .out export (reconstruction.cc:1042-1140 parity)."""
+    import jax.numpy as jnp
+    from ..geometry import rotations as rot
+
+    reg = np.nonzero(rec.registered)[0]
+    valid = np.nonzero(rec.track_valid)[0]
+    f = float(rec.params[0])
+    lines = ["# Bundle file v0.3", f"{len(reg)} {len(valid)}"]
+    # Bundler convention: y up, z towards viewer -> flip rows 1,2 of [R|t]
+    flip = np.diag([1.0, -1.0, -1.0])
+    img_order = {int(i): k for k, i in enumerate(reg)}
+    for i in reg:
+        R = np.asarray(rot.quat_to_rotmat(jnp.asarray(rec.qvec[i], jnp.float32)))
+        Rb = flip @ R
+        tb = flip @ rec.tvec[i]
+        lines.append(f"{f} 0 0")
+        for row in Rb:
+            lines.append(f"{row[0]} {row[1]} {row[2]}")
+        lines.append(f"{tb[0]} {tb[1]} {tb[2]}")
+    for n in valid:
+        x = rec.points[n]
+        lines.append(f"{x[0]} {x[1]} {x[2]}")
+        lines.append("128 128 128")
+        slots = np.nonzero(rec.obs_mask[n])[0]
+        obs = []
+        for k in slots:
+            img = int(rec.obs_frame_idx[n, k])
+            if img in img_order:
+                u, v = rec.obs_uv[n, k]
+                obs.append(f"{img_order[img]} 0 {u} {v}")
+        lines.append(f"{len(obs)} " + " ".join(obs))
+    Path(path).write_text("\n".join(lines) + "\n")
