@@ -80,3 +80,24 @@ def sharded_map_frames(fn, mesh: Mesh, *arrays, axis: str = "data"):
     )
     out = vfn(*placed)
     return jax.tree.map(lambda o: o[:n], out)
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for multi-host meshes.
+
+    On a pod slice the runtime autodetects everything (call with no args); the
+    explicit form covers DCN-connected multi-slice jobs. After this, the same
+    make_mesh()/NamedSharding code paths span all hosts — the collectives ride
+    ICI within a slice and DCN across slices with no further changes (this is
+    the framework's entire 'communication backend', replacing the reference's
+    nothing — SURVEY.md §2.11).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

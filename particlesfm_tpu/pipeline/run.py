@@ -108,6 +108,9 @@ def _load_seg_apply(cfg: Config):
 
 def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
     """Run the staged pipeline on one sequence (particlesfm() parity)."""
+    from ..utils.profiling import StageTimer
+
+    timer = StageTimer()
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     save_config(cfg, out / "config.json")
@@ -116,8 +119,10 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
     log(f"[pipeline] {T} frames at {W}x{H} from {image_dir}")
 
     # stage 1+2: flow -> trajectories
-    flows = stages.flow_stage(images, out, cfg, _load_raft_apply(cfg), log=log)
-    tracks = stages.tracking_stage(flows, H, W, out, cfg, log=log)
+    with timer.stage("flow"):
+        flows = stages.flow_stage(images, out, cfg, _load_raft_apply(cfg), log=log)
+    with timer.stage("trajectories"):
+        tracks = stages.tracking_stage(flows, H, W, out, cfg, log=log)
 
     # stage 3: motion segmentation (skipped with --assume_static)
     if not cfg.assume_static:
@@ -125,16 +130,21 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
         if seg_apply is None:
             log("[pipeline] no segmentation checkpoint; treating scene as static")
         else:
-            depths = stages.depth_stage(images, out, cfg, None, log=log)
-            tracks = stages.motionseg_stage(
-                tracks, depths, (H, W), out, cfg, seg_apply, log=log
-            )
+            with timer.stage("depth"):
+                depths = stages.depth_stage(images, out, cfg, None, log=log)
+            with timer.stage("motion_seg"):
+                tracks = stages.motionseg_stage(
+                    tracks, depths, (H, W), out, cfg, seg_apply, log=log
+                )
 
     # stage 4: global SfM
+    rec = tracks
     if not cfg.skip_sfm:
-        rec = stages.sfm_stage(tracks, H, W, out, cfg, names, log=log)
-        return rec
-    return tracks
+        with timer.stage("sfm"):
+            rec = stages.sfm_stage(tracks, H, W, out, cfg, names, log=log)
+    log(timer.report())
+    (out / "timings.txt").write_text(timer.report() + "\n")
+    return rec
 
 
 def main(argv=None):

@@ -66,3 +66,32 @@ def make_flow_scene(num_views=8, height=96, width=128, focal=150.0):
         flows=flows, R=Rs, t=ts, centers=centers, K=K,
         height=height, width=width, focal=focal, num_views=num_views,
     )
+
+
+def make_dynamic_flow_scene(num_views=8, height=96, width=128, focal=150.0,
+                            box_size=(28, 36), box_start=(8, 60), box_vel=(3.0, 1.0)):
+    """Static scene + a moving box whose flow follows its own velocity.
+
+    The box region's flow is internally forward/backward consistent (so the
+    tracker follows it) but inconsistent with ego-motion — exactly the dynamic
+    outliers motion segmentation must remove before SfM.
+    Returns the static scene dict + 'gt_dynamic' [T, H, W] masks.
+    """
+    sc = make_flow_scene(num_views, height, width, focal)
+    bh, bw = box_size
+    masks = np.zeros((num_views, height, width), np.float32)
+    for t in range(num_views):
+        y0 = int(box_start[0] + t * box_vel[1])
+        x0 = int(box_start[1] + t * box_vel[0])
+        masks[t, y0 : y0 + bh, x0 : x0 + bw] = 1.0
+    for key, stride in (("flow_f", 1), ("flow_b", -1), ("flow_f2", 2), ("flow_b2", -2)):
+        flows = sc["flows"][key]
+        for i in range(flows.shape[0]):
+            a = i if stride > 0 else i + abs(stride)
+            d = stride
+            in_box = masks[a] > 0.5
+            flows[i][in_box] = np.array(
+                [box_vel[0] * d, box_vel[1] * d], np.float32
+            )
+    sc["gt_dynamic"] = masks
+    return sc

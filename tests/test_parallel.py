@@ -1,0 +1,58 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from particlesfm_tpu.parallel import (
+    make_mesh, data_sharding, shard_frames, sharded_map_frames,
+)
+from particlesfm_tpu.ops.flow_ops import occlusion_mask
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(axes=("data",))
+
+
+def test_mesh_and_sharding(mesh):
+    assert mesh.shape["data"] == 8
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    s, n = shard_frames(x, mesh)
+    assert n == 16
+    assert s.sharding.spec == P("data", None)
+
+
+def test_shard_frames_pads_uneven(mesh):
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    s, n = shard_frames(x, mesh)
+    assert n == 5 and s.shape[0] == 8
+
+
+def test_sharded_flow_check_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    T, H, W = 11, 16, 24
+    ff = rng.normal(0, 2, (T, H, W, 2)).astype(np.float32)
+    fb = -ff + rng.normal(0, 0.05, ff.shape).astype(np.float32)
+    occ_sharded, err_sharded = sharded_map_frames(
+        lambda f, b: occlusion_mask(f, b, 1.0), mesh, ff, fb
+    )
+    occ_ref, err_ref = jax.vmap(lambda f, b: occlusion_mask(f, b, 1.0))(
+        jnp.asarray(ff), jnp.asarray(fb)
+    )
+    np.testing.assert_allclose(np.asarray(occ_sharded), np.asarray(occ_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(err_sharded), np.asarray(err_ref), atol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 96, 2)
