@@ -21,6 +21,7 @@ def main(argv=None):
     ap.add_argument("--pred_subdir", default="particlesfm_tpu/colmap_outputs_converted/poses")
     ap.add_argument("--gt_subdir", default="pose")
     ap.add_argument("--seqs", nargs="*", default=None)
+    ap.add_argument("--plot_dir", default=None)
     args = ap.parse_args(argv)
 
     seqs = args.seqs or sorted(
@@ -35,6 +36,11 @@ def main(argv=None):
         pred_dir = Path(args.pred_root) / seq / args.pred_subdir
         est = load_pose_dir(pred_dir) if pred_dir.is_dir() else {}
         results.append(evaluate_sequence(est, gt, name=seq))
+        if args.plot_dir:
+            from .plots import plot_trajectories
+
+            Path(args.plot_dir).mkdir(parents=True, exist_ok=True)
+            plot_trajectories(est, gt, Path(args.plot_dir) / f"{seq}.png", seq)
     report = summarize(results)
     print(report)
     (Path(args.pred_root) / "errors_ate.txt").write_text(report + "\n")

@@ -30,6 +30,7 @@ def main(argv=None):
     ap.add_argument("--pred_root", required=True)
     ap.add_argument("--pred_subdir", default="particlesfm_tpu/colmap_outputs_converted/poses")
     ap.add_argument("--seqs", nargs="*", default=DEFAULT_SEQS)
+    ap.add_argument("--plot_dir", default=None)
     args = ap.parse_args(argv)
 
     results = []
@@ -44,6 +45,11 @@ def main(argv=None):
         pred_dir = Path(args.pred_root) / seq / args.pred_subdir
         est = load_pose_dir(pred_dir) if pred_dir.is_dir() else {}
         results.append(evaluate_sequence(est, gt, name=seq))
+        if args.plot_dir:
+            from .plots import plot_trajectories
+
+            Path(args.plot_dir).mkdir(parents=True, exist_ok=True)
+            plot_trajectories(est, gt, Path(args.plot_dir) / f"{seq}.png", seq)
     report = summarize(results)
     print(report)
     out = Path(args.pred_root) / "errors_ate.txt"

@@ -1,0 +1,104 @@
+"""GLOMAP-style global positioning: joint camera-position + 3D-point solve.
+
+The reference's best-accuracy mode shells out to `glomap mapper`
+(main_global_sfm_glomap, /root/reference/sfm/main_sfm.py:161-184; README.md:23
+reports 0.057 m Sintel ATE vs 0.104 m for the Theia-mode gcolmap). GLOMAP's core
+(Pan et al., ECCV 2024) replaces translation averaging: with rotations fixed,
+solve camera positions p_v AND points X_n jointly from bearing constraints,
+using auxiliary per-observation depths d_o that make the problem bilinear:
+
+    r_o = X_n - p_v - d_o * ray_o          (ray = world-rotated unit bearing)
+
+TPU-native solver: IRLS block-coordinate iterations with EXACT sub-solves —
+  d-step   closed form  d_o = max(<X_n - p_v, ray_o>, eps);
+  (p,X)-step: points eliminate in closed form (their Hessian blocks are
+  w*I_3), leaving a scalar graph-Laplacian reduced camera system [V, V]
+  solved densely with 3 right-hand sides (x/y/z share the matrix);
+  scale-step: the gauge direction (uniform shrink of p, X, d) is removed by
+  renormalizing mean depth to 1 each iteration — same collapse-guard role as
+  the s >= 1 constraint in the LUD estimator.
+
+Everything is segment-sums + one dense [V, V] Cholesky per iteration: scales to
+100k+ tracks because points never enter a matrix.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_views", "iters"))
+def global_positioning(
+    num_views: int,
+    rays: jnp.ndarray,        # [N, K, 3] unit world-frame bearings
+    fidx: jnp.ndarray,        # [N, K] int32 camera index per observation
+    mask: jnp.ndarray,        # [N, K] bool
+    key: jax.Array,
+    iters: int = 48,
+    irls_eps: float = 1e-3,
+):
+    """Returns (camera positions [V, 3], points [N, 3], depths [N, K])."""
+    V = num_views
+    N, K = fidx.shape
+    m = mask.astype(rays.dtype)
+
+    kp, kx = jax.random.split(key)
+    p = jax.random.uniform(kp, (V, 3), rays.dtype, -1.0, 1.0)
+    p = p.at[0].set(0.0)
+    X = jax.random.uniform(kx, (N, 3), rays.dtype, -1.0, 1.0)
+    d = jnp.ones((N, K), rays.dtype)
+
+    fflat = fidx.reshape(-1)
+
+    def solve_pX(w, d):
+        """Exact weighted LS over (p, X) given depths: point elimination +
+        scalar Laplacian camera solve. w: [N, K] row weights."""
+        c = d[..., None] * rays                        # [N, K, 3]
+        Wn = jnp.maximum(jnp.sum(w, axis=1), 1e-12)    # [N]
+        wf = w.reshape(-1)
+        # reduced system S p = b (same matrix for x/y/z)
+        S = jnp.zeros((V, V), rays.dtype)
+        S = S.at[fflat, fflat].add(wf)
+        ratio = w / Wn[:, None]                        # [N, K]
+        cross = w[:, :, None] * ratio[:, None, :]      # [N, K, K] w_o w_o' / Wn
+        fi = jnp.broadcast_to(fidx[:, :, None], cross.shape)
+        fj = jnp.broadcast_to(fidx[:, None, :], cross.shape)
+        S = S.at[fi, fj].add(-cross)
+        # rhs_v = -sum_{o in v} w c + sum_{o in v} (w/Wn) sum_{o' in n} w' c'
+        swc = jnp.einsum("nk,nki->ni", w, c)           # [N, 3]
+        b = jnp.zeros((V, 3), rays.dtype)
+        b = b.at[fflat].add((-w[..., None] * c).reshape(-1, 3))
+        b = b.at[fflat].add((ratio[..., None] * swc[:, None, :]).reshape(-1, 3))
+        # gauge: pin camera 0
+        S = S.at[0, :].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
+        b = b.at[0].set(0.0)
+        S = S + 1e-9 * jnp.eye(V, dtype=rays.dtype)
+        p = jnp.linalg.solve(S, b)
+        # back-substitute points: X_n = (sum w (p_v + c)) / Wn
+        X = (jnp.einsum("nk,nki->ni", w, p[fidx] + c)) / Wn[:, None]
+        return p, X
+
+    def body(carry, _):
+        p, X, d = carry
+        r = X[:, None, :] - p[fidx] - d[..., None] * rays
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = m / jnp.maximum(rn, irls_eps)              # L1-IRLS row weights
+        p, X = solve_pX(w, d)
+        # closed-form depth update + positivity floor
+        d = jnp.maximum(
+            jnp.einsum("nki,nki->nk", X[:, None, :] - p[fidx], rays), 1e-4
+        )
+        # scale gauge: mean valid depth = 1 (collapse guard)
+        s = jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
+        s = jnp.where(s < 1e-9, 1.0, s)
+        return (p / s, X / s, d / s), None
+
+    # first pass with unit weights to leave the random init
+    p, X = solve_pX(m, d)
+    d = jnp.maximum(jnp.einsum("nki,nki->nk", X[:, None, :] - p[fidx], rays), 1e-4)
+    s = jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
+    p, X, d = p / s, X / s, d / s
+    (p, X, d), _ = jax.lax.scan(body, (p, X, d), None, length=iters)
+    return p, X, d

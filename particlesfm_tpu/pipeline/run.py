@@ -142,6 +142,16 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
     if not cfg.skip_sfm:
         with timer.stage("sfm"):
             rec = stages.sfm_stage(tracks, H, W, out, cfg, names, log=log)
+    # intermediate cleanup (run_particlesfm.py:44-45,66-70 semantics): flow and
+    # depth directories are large and re-derivable; drop them unless asked
+    if not cfg.keep_intermediate:
+        import shutil
+
+        for sub in ("optical_flows", "depth"):
+            d = out / sub
+            if d.is_dir():
+                shutil.rmtree(d)
+                log(f"[pipeline] removed intermediate {sub}/")
     log(timer.report())
     (out / "timings.txt").write_text(timer.report() + "\n")
     return rec

@@ -199,9 +199,9 @@ def sfm_stage(
     if cfg.skip_exists and (model_dir / "images.bin").exists():
         log("[sfm] reusing existing model")
         return None
-    # sfm_type dispatch (run_particlesfm.py:73-97): global (gmapper parity,
-    # default), incremental (colmap-mapper parity); glomap-mode falls back to
-    # global until its stronger joint positioning lands
+    # sfm_type dispatch (run_particlesfm.py:73-97): global (gmapper/Theia
+    # parity, default), incremental (colmap-mapper parity), glomap (direct
+    # global positioning over bearings — handled inside run_global_mapper)
     if cfg.sfm.sfm_type == "incremental":
         from ..sfm.incremental import run_incremental_mapper as _run
     else:

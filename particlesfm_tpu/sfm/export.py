@@ -199,3 +199,19 @@ def write_bundler(path, rec: "Reconstruction") -> None:
                 obs.append(f"{img_order[img]} 0 {u} {v}")
         lines.append(f"{len(obs)} " + " ".join(obs))
     Path(path).write_text("\n".join(lines) + "\n")
+
+
+def write_vrml(path, rec: "Reconstruction", colors=None) -> None:
+    """Minimal VRML 2.0 point-cloud export (reconstruction.cc:1142-1219 parity)."""
+    pts = rec.points[rec.track_valid]
+    cols = (
+        colors[rec.track_valid] / 255.0
+        if colors is not None
+        else np.full((len(pts), 3), 0.8)
+    )
+    lines = ["#VRML V2.0 utf8", "Shape { geometry PointSet {", "coord Coordinate { point ["]
+    lines += [f"{p[0]} {p[1]} {p[2]}," for p in pts]
+    lines += ["] }", "color Color { color ["]
+    lines += [f"{c[0]:.3f} {c[1]:.3f} {c[2]:.3f}," for c in cols]
+    lines += ["] } } }"]
+    Path(path).write_text("\n".join(lines) + "\n")

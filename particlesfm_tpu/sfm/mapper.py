@@ -197,6 +197,47 @@ def run_global_mapper(
         if V < 3:
             return _failed(num_images, params, height, width)
 
+    # ---- track observations in the registered subset ----------------------
+    obs_t = build_observations(tracks, static_mask, min_track_len=2)
+    sub_frame = full2sub[obs_t.frame_idx]
+    omask = obs_t.mask & (sub_frame >= 0)
+    keep_tracks = omask.sum(axis=1) >= 2
+    obs_t.frame_idx = np.where(omask, sub_frame, 0).astype(np.int32)[keep_tracks]
+    obs_t.uv = obs_t.uv[keep_tracks]
+    obs_t.mask = omask[keep_tracks]
+    obs_t.track_row = obs_t.track_row[keep_tracks]
+    N = len(obs_t.track_row)
+    log(f"[mapper] {N} tracks with >= 2 registered observations")
+    if N < 8:
+        return _failed(num_images, params, height, width)
+    obs = TrackObs(
+        jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv), jnp.asarray(obs_t.mask)
+    )
+
+    if cfg.sfm_type == "glomap" or cfg.position.method == "glomap":
+        # ---- GLOMAP-mode: direct global positioning over bearings ----------
+        # skips pairwise translation refinement + MFAS + LUD entirely
+        from ..globalsfm.global_positioning import global_positioning
+
+        x_cam = (obs_t.uv - params[2:4]) / focal
+        rays_cam = np.concatenate(
+            [x_cam, np.ones(x_cam.shape[:-1] + (1,), np.float32)], axis=-1
+        )
+        R_np = np.asarray(R_abs)
+        rays = np.einsum("nkji,nkj->nki", R_np[obs_t.frame_idx], rays_cam)
+        rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+        p_est, _, _ = global_positioning(
+            V, jnp.asarray(rays, jnp.float32), obs.frame_idx, obs.mask,
+            jax.random.PRNGKey(cfg.seed),
+        )
+        log("[mapper] glomap-mode global positioning done")
+        q_est = rot.rotmat_to_quat(R_abs)
+        t_est = se3.pose_from_center(q_est, p_est)
+        return _refine_and_finish(
+            tracks, cfg, params, height, width, num_images, sub, full2sub,
+            obs, obs_t, q_est, t_est, V, N, log,
+        )
+
     # ---- pairwise translation refinement ---------------------------------
     match_mask = inl_mask & (np.arange(inl_mask.shape[1])[None, :] >= 0)
     w0 = directions_from_relative_poses(
@@ -268,24 +309,17 @@ def run_global_mapper(
     )
     q_est = rot.rotmat_to_quat(R_abs)
     t_est = se3.pose_from_center(q_est, p_est)  # register: t = -R p
-
-    # ---- track observations in the registered subset ----------------------
-    obs_t = build_observations(tracks, static_mask, min_track_len=2)
-    sub_frame = full2sub[obs_t.frame_idx]
-    omask = obs_t.mask & (sub_frame >= 0)
-    keep_tracks = omask.sum(axis=1) >= 2
-    obs_t.frame_idx = np.where(omask, sub_frame, 0).astype(np.int32)[keep_tracks]
-    obs_t.uv = obs_t.uv[keep_tracks]
-    obs_t.mask = omask[keep_tracks]
-    obs_t.track_row = obs_t.track_row[keep_tracks]
-    N = len(obs_t.track_row)
-    log(f"[mapper] {N} tracks with >= 2 registered observations")
-    if N < 8:
-        return _failed(num_images, params, height, width)
-    obs = TrackObs(
-        jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv), jnp.asarray(obs_t.mask)
+    return _refine_and_finish(
+        tracks, cfg, params, height, width, num_images, sub, full2sub,
+        obs, obs_t, q_est, t_est, V, N, log,
     )
 
+
+def _refine_and_finish(
+    tracks, cfg, params, height, width, num_images, sub, full2sub,
+    obs, obs_t, q_est, t_est, V, N, log,
+):
+    """Shared tail: triangulation + two-phase iterative refinement + packing."""
     # ---- triangulation + iterative refinement -----------------------------
     jparams = jnp.asarray(params)
     X = triangulate_tracks(q_est, t_est, jparams, obs)

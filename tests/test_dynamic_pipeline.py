@@ -43,7 +43,7 @@ def dyn_env(tmp_path_factory):
     # stage 1-2 only: get tracks for training the tiny classifier
     args = build_arg_parser().parse_args(
         ["--image_dir", str(root / "images"), "--output_dir", str(out),
-         "--skip_sfm", "--assume_static", "--skip_exists", "--sample_ratio", "4"]
+         "--skip_sfm", "--assume_static", "--skip_exists", "--keep_intermediate", "--sample_ratio", "4"]
     )
     cfg = config_from_args(args)
     cfg.track.capacity = 1 << 13
@@ -87,7 +87,7 @@ def test_dynamic_pipeline_segments_and_reconstructs(dyn_env):
     T, H, W = sc["num_views"], sc["height"], sc["width"]
     args = build_arg_parser().parse_args(
         ["--image_dir", str(root / "images"), "--output_dir", str(out),
-         "--skip_exists", "--sample_ratio", "4", "--seg_ckpt", str(ckpt)]
+         "--skip_exists", "--keep_intermediate", "--sample_ratio", "4", "--seg_ckpt", str(ckpt)]
     )
     cfg = config_from_args(args)
     cfg.track.capacity = 1 << 13

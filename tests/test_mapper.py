@@ -89,3 +89,16 @@ def test_mapper_fails_gracefully_on_garbage():
     rec = run_global_mapper(tracks, 100, 100, SfmConfig(), log=lambda *_: None)
     # random tracks: either fails outright or registers nothing meaningful
     assert rec.num_registered in (0,) or rec.points.shape[0] >= 0
+
+
+def test_glomap_mode_matches_or_beats_global():
+    sc = orbit_scene(num_views=10, num_points=300, pixel_noise=0.3, seed=2)
+    cfg = SfmConfig()
+    cfg.sfm_type = "glomap"
+    rec = run_global_mapper(sc["tracks"], sc["height"], sc["width"], cfg, log=lambda *_: None)
+    assert rec.num_registered == 10
+    import jax.numpy as jnp
+    c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec)))
+    ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
+    span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+    assert ate < 0.01 * span, f"glomap-mode ATE {ate} vs span {span}"

@@ -35,7 +35,7 @@ def test_full_pipeline_static(scene_dir):
     root, sc = scene_dir
     args = build_arg_parser().parse_args(
         ["--image_dir", str(root / "images"), "--output_dir", str(root / "out"),
-         "--assume_static", "--skip_exists", "--sample_ratio", "4"]
+         "--assume_static", "--skip_exists", "--keep_intermediate", "--sample_ratio", "4"]
     )
     cfg = config_from_args(args)
     cfg.track.capacity = 1 << 13
@@ -60,7 +60,7 @@ def test_skip_exists_restart(scene_dir):
     root, sc = scene_dir
     args = build_arg_parser().parse_args(
         ["--image_dir", str(root / "images"), "--output_dir", str(root / "out"),
-         "--assume_static", "--skip_exists", "--sample_ratio", "4"]
+         "--assume_static", "--skip_exists", "--keep_intermediate", "--sample_ratio", "4"]
     )
     cfg = config_from_args(args)
     cfg.track.capacity = 1 << 13
