@@ -175,6 +175,11 @@ def bundle_adjust(
     fm = free_mask
     f_free = 1.0 if refine_focal else 0.0
 
+    # On TPU, scatter-adds serialize; for small camera counts every block
+    # accumulation becomes a one-hot contraction on the MXU instead (the
+    # segment-sum-as-matmul trick). Large V falls back to scatters.
+    use_onehot = solver == "dense" and V <= 192
+
     def lm_step(carry, _):
         q, t, X, params, lam = carry
         w_obs, cost0 = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
@@ -182,19 +187,25 @@ def bundle_adjust(
         r, Jc, Jp, Jf = _residuals_jacobians(q, t, params, X, obs, w_obs)
 
         # --- assemble blocks -------------------------------------------------
-        Hcc = jnp.zeros((V, 6, 6), X.dtype).at[fidx].add(
-            jnp.einsum("nkri,nkrj->nkij", Jc, Jc)
-        )
-        gc = jnp.zeros((V, 6), X.dtype).at[fidx].add(
-            jnp.einsum("nkri,nkr->nki", Jc, r)
-        )
+        if use_onehot:
+            oh = jax.nn.one_hot(fidx, V, dtype=X.dtype)    # [N, K, V]
+            Hcc = jnp.einsum("nkv,nkri,nkrj->vij", oh, Jc, Jc)
+            gc = jnp.einsum("nkv,nkri,nkr->vi", oh, Jc, r)
+            Hcf = jnp.einsum("nkv,nkri,nkr->vi", oh, Jc, Jf)
+        else:
+            Hcc = jnp.zeros((V, 6, 6), X.dtype).at[fidx].add(
+                jnp.einsum("nkri,nkrj->nkij", Jc, Jc)
+            )
+            gc = jnp.zeros((V, 6), X.dtype).at[fidx].add(
+                jnp.einsum("nkri,nkr->nki", Jc, r)
+            )
+            Hcf = jnp.zeros((V, 6), X.dtype).at[fidx].add(
+                jnp.einsum("nkri,nkr->nki", Jc, Jf)
+            )
         Hpp = jnp.einsum("nkri,nkrj->nij", Jp, Jp)
         gp = jnp.einsum("nkri,nkr->ni", Jp, r)
         Wcp = jnp.einsum("nkri,nkrj->nkij", Jc, Jp)        # [N, K, 6, 3]
         # focal border blocks
-        Hcf = jnp.zeros((V, 6), X.dtype).at[fidx].add(
-            jnp.einsum("nkri,nkr->nki", Jc, Jf)
-        )
         Hff = jnp.sum(Jf * Jf)
         gf = jnp.sum(Jf * r)
         Wfp = jnp.einsum("nkr,nkrj->nj", Jf, Jp)           # [N, 3]
@@ -207,9 +218,12 @@ def bundle_adjust(
 
         # Schur border terms (explicit, tiny): S_cf, S_ff
         HpiWfp = jnp.einsum("nij,nj->ni", Hpp_inv, Wfp)    # [N, 3]
-        S_cf = Hcf - jnp.zeros((V, 6), X.dtype).at[fidx].add(
-            jnp.einsum("nkij,nj->nki", Wcp, HpiWfp)
-        )
+        if use_onehot:
+            S_cf = Hcf - jnp.einsum("nkv,nkij,nj->vi", oh, Wcp, HpiWfp)
+        else:
+            S_cf = Hcf - jnp.zeros((V, 6), X.dtype).at[fidx].add(
+                jnp.einsum("nkij,nj->nki", Wcp, HpiWfp)
+            )
         S_cf = S_cf * fm * f_free
         S_ff = (dHff - jnp.sum(Wfp * HpiWfp)) * f_free + (1.0 - f_free)
 
@@ -228,17 +242,20 @@ def bundle_adjust(
 
         # rhs = -g + W Hpp^-1 gp (camera and focal rows)
         hp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)
-        rhs_c = (
-            -gc + jnp.zeros((V, 6), X.dtype).at[fidx].add(
-                jnp.einsum("nkij,nj->nki", Wcp, hp)
-            )
-        ) * fm
+        if use_onehot:
+            rhs_c = (-gc + jnp.einsum("nkv,nkij,nj->vi", oh, Wcp, hp)) * fm
+        else:
+            rhs_c = (
+                -gc + jnp.zeros((V, 6), X.dtype).at[fidx].add(
+                    jnp.einsum("nkij,nj->nki", Wcp, hp)
+                )
+            ) * fm
         rhs_f = (-gf + jnp.sum(Wfp * hp)) * f_free
 
         if solver == "dense":
             # --- explicit reduced camera system, exact Cholesky solve --------
             # off-diagonal Schur blocks: -sum_n W_{n,k1} Hpp_n^-1 W_{n,k2}^T,
-            # assembled in track chunks to bound the [C,K,K,6,6] intermediate
+            # assembled in track chunks to bound the intermediates
             K = fidx.shape[1]
             N = fidx.shape[0]
             CHUNK = 2048
@@ -248,15 +265,27 @@ def bundle_adjust(
             fidx_p = jnp.pad(fidx, ((0, pad), (0, 0)))
             nch = (N + pad) // CHUNK
 
-            def add_chunk(S, c):
-                Wc = jax.lax.dynamic_slice_in_dim(Wcp_p, c * CHUNK, CHUNK)
-                Hi = jax.lax.dynamic_slice_in_dim(Hpi_p, c * CHUNK, CHUNK)
-                fc = jax.lax.dynamic_slice_in_dim(fidx_p, c * CHUNK, CHUNK)
-                WHi = jnp.einsum("nkij,njl->nkil", Wc, Hi)
-                cross = jnp.einsum("nkil,nmjl->nkmij", WHi, Wc)
-                fi = jnp.broadcast_to(fc[:, :, None], cross.shape[:3])
-                fj = jnp.broadcast_to(fc[:, None, :], cross.shape[:3])
-                return S.at[fi, fj].add(-cross), None
+            if use_onehot:
+                # per-chunk: gather W into per-camera slots with a one-hot
+                # contraction, then ONE big matmul forms the chunk's S update
+                def add_chunk(S, c):
+                    Wc = jax.lax.dynamic_slice_in_dim(Wcp_p, c * CHUNK, CHUNK)
+                    Hi = jax.lax.dynamic_slice_in_dim(Hpi_p, c * CHUNK, CHUNK)
+                    fc = jax.lax.dynamic_slice_in_dim(fidx_p, c * CHUNK, CHUNK)
+                    ohc = jax.nn.one_hot(fc, V, dtype=X.dtype)      # [C, K, V]
+                    G = jnp.einsum("nkv,nkij->nvij", ohc, Wc)       # [C, V, 6, 3]
+                    GH = jnp.einsum("nvij,njl->nvil", G, Hi)
+                    return S - jnp.einsum("nvil,nwjl->vwij", GH, G), None
+            else:
+                def add_chunk(S, c):
+                    Wc = jax.lax.dynamic_slice_in_dim(Wcp_p, c * CHUNK, CHUNK)
+                    Hi = jax.lax.dynamic_slice_in_dim(Hpi_p, c * CHUNK, CHUNK)
+                    fc = jax.lax.dynamic_slice_in_dim(fidx_p, c * CHUNK, CHUNK)
+                    WHi = jnp.einsum("nkij,njl->nkil", Wc, Hi)
+                    cross = jnp.einsum("nkil,nmjl->nkmij", WHi, Wc)
+                    fi = jnp.broadcast_to(fc[:, :, None], cross.shape[:3])
+                    fj = jnp.broadcast_to(fc[:, None, :], cross.shape[:3])
+                    return S.at[fi, fj].add(-cross), None
 
             S, _ = jax.lax.scan(
                 add_chunk, jnp.zeros((V, V, 6, 6), X.dtype), jnp.arange(nch)

@@ -50,27 +50,24 @@ def global_positioning(
     X = jax.random.uniform(kx, (N, 3), rays.dtype, -1.0, 1.0)
     d = jnp.ones((N, K), rays.dtype)
 
-    fflat = fidx.reshape(-1)
 
     def solve_pX(w, d):
         """Exact weighted LS over (p, X) given depths: point elimination +
-        scalar Laplacian camera solve. w: [N, K] row weights."""
+        scalar Laplacian camera solve. w: [N, K] row weights.
+
+        All accumulations are one-hot contractions (MXU matmuls) — TPU scatters
+        would serialize on the [N, K, K] cross terms."""
         c = d[..., None] * rays                        # [N, K, 3]
         Wn = jnp.maximum(jnp.sum(w, axis=1), 1e-12)    # [N]
-        wf = w.reshape(-1)
-        # reduced system S p = b (same matrix for x/y/z)
+        oh = jax.nn.one_hot(fidx, V, dtype=rays.dtype)  # [N, K, V]
+        A = jnp.einsum("nkv,nk->nv", oh, w)            # [N, V] per-track cam weights
         S = jnp.zeros((V, V), rays.dtype)
-        S = S.at[fflat, fflat].add(wf)
-        ratio = w / Wn[:, None]                        # [N, K]
-        cross = w[:, :, None] * ratio[:, None, :]      # [N, K, K] w_o w_o' / Wn
-        fi = jnp.broadcast_to(fidx[:, :, None], cross.shape)
-        fj = jnp.broadcast_to(fidx[:, None, :], cross.shape)
-        S = S.at[fi, fj].add(-cross)
+        S = S.at[jnp.arange(V), jnp.arange(V)].add(jnp.sum(A, axis=0))
+        S = S - jnp.einsum("nv,nw->vw", A / Wn[:, None], A)
         # rhs_v = -sum_{o in v} w c + sum_{o in v} (w/Wn) sum_{o' in n} w' c'
         swc = jnp.einsum("nk,nki->ni", w, c)           # [N, 3]
-        b = jnp.zeros((V, 3), rays.dtype)
-        b = b.at[fflat].add((-w[..., None] * c).reshape(-1, 3))
-        b = b.at[fflat].add((ratio[..., None] * swc[:, None, :]).reshape(-1, 3))
+        b = -jnp.einsum("nkv,nk,nki->vi", oh, w, c)
+        b = b + jnp.einsum("nv,ni->vi", A / Wn[:, None], swc)
         # gauge: pin camera 0
         S = S.at[0, :].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
         b = b.at[0].set(0.0)

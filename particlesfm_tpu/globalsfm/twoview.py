@@ -3,10 +3,12 @@
 TPU-native counterpart of the reference's per-pair threaded RANSAC
 (/root/reference/sfm/gmapper/src/estimators/two_view_geometry.cc:172-253, driven from
 base/database_cache.cc:206-231 in a colmap::ThreadPool). Instead of adaptive
-per-pair sampling, every pair evaluates a fixed budget of hypotheses in parallel:
-`vmap` over pairs x hypotheses turns the whole view graph's relative-pose
-estimation into a handful of batched kernels (8-point solves are small eighs, the
-scoring is one big elementwise pass).
+per-pair sampling, every pair evaluates a fixed budget of hypotheses in parallel.
+
+The whole estimator is written as flat batched array code — NO outer vmap — so
+every linalg call (eigh/svd) sees exactly ONE leading batch dimension; XLA's
+multi-batch-dim linalg lowering is orders of magnitude slower on TPU (measured:
+[E, S, 3, 3] svd ~3000x slower than [E*S, 3, 3]).
 
 Pipeline per pair (all pairs in lockstep):
   1. sample S random 8-tuples of valid correspondences;
@@ -45,58 +47,14 @@ def _sample_indices(key, mask, num_hypotheses: int, sample_size: int = 8):
     return order[idx]
 
 
-def _median_masked(x, mask):
-    """Median of masked entries (mask weights >= half of valid count)."""
+def _median_masked_rows(x, mask):
+    """Row-wise median of masked entries. x, mask: [P, M]."""
     big = jnp.where(mask, x, jnp.inf)
-    sorted_x = jnp.sort(big)
-    count = jnp.sum(mask.astype(jnp.int32))
-    mid = jnp.maximum(count // 2, 0)
-    val = sorted_x[jnp.clip(mid, 0, x.shape[0] - 1)]
+    sorted_x = jnp.sort(big, axis=-1)
+    count = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    mid = jnp.clip(count // 2, 0, x.shape[-1] - 1)
+    val = jnp.take_along_axis(sorted_x, mid[:, None], axis=-1)[:, 0]
     return jnp.where(count > 0, val, 0.0)
-
-
-def _estimate_one(key, x1, x2, mask, thres_sq, num_hypotheses: int):
-    """Single-pair estimation; vmapped over the pair axis. x1,x2: [M,2] normalized."""
-    idx = _sample_indices(key, mask, num_hypotheses)      # [S, 8]
-    s1 = x1[idx]                                          # [S, 8, 2]
-    s2 = x2[idx]
-    smask = mask[idx].astype(x1.dtype)
-
-    E = epipolar.eight_point(s1, s2, smask)               # [S, 3, 3]
-    E = epipolar.essential_closest(E)
-    err = epipolar.sampson_error(E, x1[None], x2[None])   # [S, M]
-    inl = (err < thres_sq) & mask[None]
-    scores = jnp.sum(inl.astype(jnp.int32), axis=-1)
-    best = jnp.argmax(scores)
-    best_inl = inl[best]
-
-    # local optimization: one masked LS refit on the winning consensus set
-    E_refit = epipolar.essential_closest(
-        epipolar.eight_point(x1, x2, best_inl.astype(x1.dtype))
-    )
-    err_refit = epipolar.sampson_error(E_refit, x1, x2)
-    inl_refit = (err_refit < thres_sq) & mask
-    better = jnp.sum(inl_refit.astype(jnp.int32)) >= jnp.sum(best_inl.astype(jnp.int32))
-    E_final = jnp.where(better, E_refit, E[best])
-    inl_final = jnp.where(better, inl_refit, best_inl)
-
-    q, t, _ = epipolar.pose_from_essential(E_final, x1, x2, inl_final.astype(x1.dtype))
-
-    # triangulation angle statistic (median over inliers), used by pair filters
-    R = rot.quat_to_rotmat(q)
-    d1, d2 = epipolar.triangulate_midpoint_depths(R, t, x1, x2)
-    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
-    X = d1[..., None] * x1h                               # points in cam1 frame
-    c2 = -R.T @ t                                         # cam2 center in cam1 frame
-    r1 = -X
-    r2 = c2[None] - X
-    cosang = jnp.sum(r1 * r2, axis=-1) / jnp.clip(
-        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
-    )
-    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
-    good = inl_final & (d1 > 0) & (d2 > 0)
-    med_ang = _median_masked(ang, good)
-    return q, t, inl_final, jnp.sum(inl_final.astype(jnp.int32)), med_ang
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -109,9 +67,57 @@ def estimate_relative_poses(
     num_hypotheses: int = 64,
 ) -> TwoViewResult:
     """Estimate relative pose for all pairs in one batched kernel."""
-    P = x1.shape[0]
+    P, M, _ = x1.shape
+    S = num_hypotheses
     keys = jax.random.split(key, P)
-    q, t, inl, n, ang = jax.vmap(
-        lambda k, a, b, m, th: _estimate_one(k, a, b, m, th, num_hypotheses)
-    )(keys, x1, x2, mask, thres_sq)
-    return TwoViewResult(q, t, inl, n, ang)
+    idx = jax.vmap(lambda k, m: _sample_indices(k, m, S))(keys, mask)  # [P, S, 8]
+
+    rows = jnp.arange(P)[:, None, None]
+    s1 = x1[rows, idx]                                    # [P, S, 8, 2]
+    s2 = x2[rows, idx]
+    smask = mask[rows, idx].astype(x1.dtype)
+
+    E0 = epipolar.eight_point(
+        s1.reshape(P * S, 8, 2), s2.reshape(P * S, 8, 2), smask.reshape(P * S, 8)
+    )
+    E0 = epipolar.essential_closest(E0).reshape(P, S, 3, 3)
+    err = epipolar.sampson_error(E0, x1[:, None], x2[:, None])   # [P, S, M]
+    inl = (err < thres_sq[:, None, None]) & mask[:, None]
+    scores = jnp.sum(inl.astype(jnp.int32), axis=-1)             # [P, S]
+    best = jnp.argmax(scores, axis=-1)
+    best_inl = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]  # [P, M]
+    E_best = jnp.take_along_axis(
+        E0, best[:, None, None, None], axis=1
+    )[:, 0]
+
+    # local optimization: one masked LS refit on the winning consensus set
+    E_refit = epipolar.essential_closest(
+        epipolar.eight_point(x1, x2, best_inl.astype(x1.dtype))
+    )
+    err_refit = epipolar.sampson_error(E_refit, x1, x2)
+    inl_refit = (err_refit < thres_sq[:, None]) & mask
+    better = jnp.sum(inl_refit.astype(jnp.int32), -1) >= jnp.sum(
+        best_inl.astype(jnp.int32), -1
+    )
+    E_final = jnp.where(better[:, None, None], E_refit, E_best)
+    inl_final = jnp.where(better[:, None], inl_refit, best_inl)
+
+    q, t, _ = epipolar.pose_from_essential(E_final, x1, x2, inl_final.astype(x1.dtype))
+
+    # triangulation angle statistic (median over inliers), used by pair filters
+    R = rot.quat_to_rotmat(q)                             # [P, 3, 3]
+    d1, d2 = epipolar.triangulate_midpoint_depths(R, t, x1, x2)
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    X = d1[..., None] * x1h                               # points in cam1 frame
+    c2 = -jnp.einsum("pji,pj->pi", R, t)                  # cam2 center in cam1 frame
+    r1 = -X
+    r2 = c2[:, None, :] - X
+    cosang = jnp.sum(r1 * r2, axis=-1) / jnp.clip(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+    )
+    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    good = inl_final & (d1 > 0) & (d2 > 0)
+    med_ang = _median_masked_rows(ang, good)
+    return TwoViewResult(
+        q, t, inl_final, jnp.sum(inl_final.astype(jnp.int32), -1), med_ang
+    )
