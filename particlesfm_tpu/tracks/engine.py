@@ -41,7 +41,7 @@ class TrackerConfig:
     capacity: int = 1 << 17
     path_consistency: bool = True
     upper_flow: float = 20.0   # flow02 anchor gate (trajectory.py:179)
-    gn_iters: int = 20
+    gn_iters: int = 12
 
 
 class TrackerOutput(NamedTuple):

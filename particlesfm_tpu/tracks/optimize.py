@@ -74,6 +74,41 @@ def path_consistency_residuals(p, uv_ref1, uv_ref2, ref2_scale, flow12_map):
     return r, J
 
 
+def _solve4_spd(H, g):
+    """Batched 4x4 SPD solve via explicit Cholesky (pure elementwise ops).
+
+    jnp.linalg.solve inside the tracker's lax.scan faults the TPU worker at
+    large batch sizes; this closed-form factorization uses no linalg primitive
+    and is faster anyway. H: [..., 4, 4], g: [..., 4] -> x with H x = g.
+    """
+    eps = 1e-20
+
+    def at(i, j):
+        return H[..., i, j]
+
+    l00 = jnp.sqrt(jnp.maximum(at(0, 0), eps))
+    l10 = at(1, 0) / l00
+    l20 = at(2, 0) / l00
+    l30 = at(3, 0) / l00
+    l11 = jnp.sqrt(jnp.maximum(at(1, 1) - l10 * l10, eps))
+    l21 = (at(2, 1) - l20 * l10) / l11
+    l31 = (at(3, 1) - l30 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(at(2, 2) - l20 * l20 - l21 * l21, eps))
+    l32 = (at(3, 2) - l30 * l20 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(at(3, 3) - l30 * l30 - l31 * l31 - l32 * l32, eps))
+    # forward substitution L y = g
+    y0 = g[..., 0] / l00
+    y1 = (g[..., 1] - l10 * y0) / l11
+    y2 = (g[..., 2] - l20 * y0 - l21 * y1) / l22
+    y3 = (g[..., 3] - l30 * y0 - l31 * y1 - l32 * y2) / l33
+    # back substitution L^T x = y
+    x3 = y3 / l33
+    x2 = (y2 - l32 * x3) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3) / l11
+    x0 = (y0 - l10 * x1 - l20 * x2 - l30 * x3) / l00
+    return jnp.stack([x0, x1, x2, x3], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("num_iters",))
 def optimize_locations(
     uv12: jnp.ndarray,
@@ -94,23 +129,38 @@ def optimize_locations(
         mask = jnp.ones(uv12.shape[:-1], uv12.dtype)
     mask = mask.astype(uv12.dtype)
 
-    def body(carry, _):
-        p, lam = carry
+    # Single-evaluation Levenberg-Marquardt: the carry holds the best point's
+    # gradient/Hessian, so a rejected step re-proposes from the stored model
+    # with larger damping instead of re-evaluating — one residual+Jacobian
+    # evaluation (the bilinear-gather traffic that dominates the tracker's
+    # per-frame cost) per iteration instead of two.
+    def eval_model(p):
         r, J = path_consistency_residuals(p, uv_ref1, uv_ref2, ref2_scale, flow12_map)
+        cost = jnp.sum(r * r, axis=-1)
         g = jnp.einsum("...ri,...r->...i", J, r)
         H = jnp.einsum("...ri,...rj->...ij", J, J)
-        Hd = H + lam[..., None, None] * jnp.eye(4, dtype=p.dtype)
-        delta = jnp.linalg.solve(Hd, -g[..., None])[..., 0]
-        p_new = p + delta
-        r_new, _ = path_consistency_residuals(p_new, uv_ref1, uv_ref2, ref2_scale, flow12_map)
-        cost = jnp.sum(r * r, axis=-1)
-        cost_new = jnp.sum(r_new * r_new, axis=-1)
-        improved = cost_new < cost
-        p = jnp.where(improved[..., None], p_new, p)
-        lam = jnp.where(improved, lam * 0.3, lam * 4.0)
-        lam = jnp.clip(lam, 1e-8, 1e6)
-        return (p, lam), None
+        return cost, g, H
+
+    cost0, g0, H0 = eval_model(uv12)
+
+    def body(carry, _):
+        p_best, cost_best, g, H, lam = carry
+        Hd = H + lam[..., None, None] * jnp.eye(4, dtype=uv12.dtype)
+        p_cand = p_best + _solve4_spd(Hd, -g)
+        cost_c, g_c, H_c = eval_model(p_cand)
+        better = cost_c < cost_best
+        b1 = better[..., None]
+        b2 = better[..., None, None]
+        return (
+            jnp.where(b1, p_cand, p_best),
+            jnp.where(better, cost_c, cost_best),
+            jnp.where(b1, g_c, g),
+            jnp.where(b2, H_c, H),
+            jnp.clip(jnp.where(better, lam * 0.3, lam * 4.0), 1e-8, 1e6),
+        ), None
 
     lam0 = jnp.full(uv12.shape[:-1], 1e-4, uv12.dtype)
-    (p_opt, _), _ = jax.lax.scan(body, (uv12, lam0), None, length=num_iters)
+    (p_opt, *_), _ = jax.lax.scan(
+        body, (uv12, cost0, g0, H0, lam0), None, length=num_iters
+    )
     return jnp.where(mask[..., None] > 0, p_opt, uv12)

@@ -36,7 +36,7 @@ class TrackConfig:
     traj_min_len: int = 3
     skip_path_consistency: bool = False
     upper_flow: float = 20.0            # flow02 gate (trajectory.py:161-179)
-    gn_iters: int = 20                  # path-consistency Gauss-Newton iterations
+    gn_iters: int = 12                  # path-consistency LM iterations (single-eval)
     capacity: int = 1 << 17             # active-slot pool size
     max_tracks: int = 100_000           # sample_inside_window cap (trajectory_base.cpp:150)
 
