@@ -307,6 +307,16 @@ def run_global_mapper(
         jnp.ones(len(spairs_m), jnp.float32),
         triplets=trip_constraints,
     )
+    if cfg.position.method == "nonlinear":
+        # 1DSfM chordal refinement on top of the LUD solution (the reference's
+        # optional position method; deterministic init instead of random)
+        from ..globalsfm.nonlinear_position import refine_positions_nonlinear
+
+        p_est = refine_positions_nonlinear(
+            V, jnp.asarray(spairs_m), w_m,
+            jnp.ones(len(spairs_m), jnp.float32), p_est,
+        )
+        log("[mapper] nonlinear position refinement done")
     q_est = rot.rotmat_to_quat(R_abs)
     t_est = se3.pose_from_center(q_est, p_est)  # register: t = -R p
     return _refine_and_finish(

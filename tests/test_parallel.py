@@ -56,3 +56,46 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 96, 2)
+
+
+def test_bundle_adjust_sharded_over_mesh(mesh):
+    """BA with observation tensors sharded over the data axis: GSPMD partitions
+    the per-observation work and inserts the psums; result matches unsharded."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import orbit_scene
+    from particlesfm_tpu.globalsfm import bundle_adjust, triangulate_tracks
+    from particlesfm_tpu.globalsfm.ba import default_free_masks
+    from particlesfm_tpu.globalsfm.tracks3d import TrackObs
+
+    sc = orbit_scene(num_views=8, num_points=64, pixel_noise=0.3, seed=7)
+    rng = np.random.default_rng(0)
+    N, K = 64, 8
+    fidx = np.zeros((N, K), np.int32)
+    uv = np.zeros((N, K, 2), np.float32)
+    m = np.zeros((N, K), bool)
+    for n in range(N):
+        views = np.nonzero(sc["vis"][:, n])[0][:K]
+        fidx[n, : len(views)] = views
+        uv[n, : len(views)] = sc["uv"][views, n]
+        m[n, : len(views)] = True
+    q = jnp.asarray(sc["q"]); t = jnp.asarray(sc["t"]); params = jnp.asarray(sc["params"])
+
+    def run(obs):
+        X0 = triangulate_tracks(q, t, params, obs)
+        st = bundle_adjust(q, t, params, X0, obs, default_free_masks(8),
+                           jnp.ones(N, jnp.float32), max_iterations=5)
+        return np.asarray(st.X), float(st.cost)
+
+    obs_plain = TrackObs(jnp.asarray(fidx), jnp.asarray(uv), jnp.asarray(m))
+    X_ref, cost_ref = run(obs_plain)
+
+    sh = data_sharding(mesh, 2)
+    obs_sharded = TrackObs(
+        jax.device_put(jnp.asarray(fidx), sh),
+        jax.device_put(jnp.asarray(uv), data_sharding(mesh, 3)),
+        jax.device_put(jnp.asarray(m), sh),
+    )
+    X_sh, cost_sh = run(obs_sharded)
+    assert abs(cost_sh - cost_ref) / max(cost_ref, 1e-9) < 1e-3
+    np.testing.assert_allclose(X_sh, X_ref, atol=1e-3)
