@@ -14,14 +14,13 @@ ScanNet per-frame 4x4 cam2world txts.
 """
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..geometry.alignment import ate_rmse, rpe, umeyama
+from ..geometry.alignment import ate_rmse, rpe
 
 TAG_FLOAT = 202021.25
 

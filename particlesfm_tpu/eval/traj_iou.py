@@ -8,7 +8,7 @@ sequences (eval_traj_iou.py:121-125) — exposed here as DEGENERATE_SINTEL_SEQS.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -14,20 +14,6 @@ from . import rotations as rot
 from .linalg3 import smallest_eigvec_psd, svd3x3
 
 
-def _flat_batch(op, M, *extra):
-    """Apply a linalg op with batch dims flattened to ONE leading dim.
-
-    XLA lowers batched eigh/svd with multiple batch dimensions onto a far
-    slower path (measured ~1000x on TPU for [E, S, 3, 3] vs [E*S, 3, 3]);
-    always hand linalg a single batch axis.
-    """
-    batch = M.shape[:-2]
-    out = op(M.reshape((-1,) + M.shape[-2:]), *extra)
-    if isinstance(out, tuple):
-        return tuple(o.reshape(batch + o.shape[1:]) for o in out)
-    return out.reshape(batch + out.shape[1:])
-
-
 def essential_from_pose(q12: jnp.ndarray, t12: jnp.ndarray) -> jnp.ndarray:
     """E for relative pose x2 = R12 x1 + t12:  x2^T E x1 = 0, E = [t]x R."""
     R = rot.quat_to_rotmat(q12)

@@ -115,50 +115,6 @@ class TripletConstraints(NamedTuple):
         )
 
 
-def _lud_ops(num_views, edges, w_dir, trip: TripletConstraints):
-    """Forward/adjoint of the LUD constraint operator with s = 1 + u.
-
-    Unknowns z = (p [V,3], u [E]); p[0] is the pinned gauge (projected to 0).
-    Rows: pair rows  p_i - p_j - (1+u_e) w_e            -> linear part + const -w_e
-          triplet rows over scales, e.g. (b_ik/b_ij) s_ij - s_ik   (x3 combos)
-    Returns (forward, adjoint, b_pair [E,3], b_trip [T,3]) where the residual is
-    forward(z) - b.
-    """
-    i = edges[:, 0]
-    j = edges[:, 1]
-    e12, e13, e23 = trip.edge_idx[:, 0], trip.edge_idx[:, 1], trip.edge_idx[:, 2]
-    b12, b13, b23 = trip.ratios[:, 0], trip.ratios[:, 1], trip.ratios[:, 2]
-    tw = trip.weight
-    r12 = b13 / jnp.maximum(b12, 1e-12)
-    r13 = b23 / jnp.maximum(b12, 1e-12)
-    r23 = b23 / jnp.maximum(b13, 1e-12)
-
-    def project(p):
-        return p.at[0].set(0.0)
-
-    def forward(p, u):
-        p = project(p)
-        r_pair = p[i] - p[j] - u[:, None] * w_dir
-        rA = tw * (r12 * u[e12] - u[e13])
-        rB = tw * (r13 * u[e12] - u[e23])
-        rC = tw * (r23 * u[e13] - u[e23])
-        return r_pair, jnp.stack([rA, rB, rC], axis=-1)
-
-    def adjoint(y_pair, y_trip):
-        p = jnp.zeros((num_views, 3), y_pair.dtype)
-        p = p.at[i].add(y_pair)
-        p = p.at[j].add(-y_pair)
-        u = -jnp.sum(y_pair * w_dir, axis=-1)
-        yA, yB, yC = y_trip[:, 0] * tw, y_trip[:, 1] * tw, y_trip[:, 2] * tw
-        u = u.at[e12].add(r12 * yA + r13 * yB)
-        u = u.at[e13].add(-yA + r23 * yC)
-        u = u.at[e23].add(-yB - yC)
-        return project(p), u
-
-    b_pair = w_dir                                     # from -(1) * w_e moved to RHS
-    b_trip = jnp.stack([tw * (1.0 - r12), tw * (1.0 - r13), tw * (1.0 - r23)], -1)
-    return forward, adjoint, b_pair, b_trip
-
 @partial(jax.jit, static_argnames=("num_views", "admm_iters"))
 def estimate_positions_lud(
     num_views: int,

@@ -10,7 +10,7 @@ to mask algebra over the padded track tensors: image covisibility is one matmul.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

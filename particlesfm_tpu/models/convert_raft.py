@@ -13,7 +13,7 @@ CLI:  python -m particlesfm_tpu.models.convert_raft raft-things.pth out.msgpack
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -17,9 +17,6 @@ TPU-first choices:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -188,22 +185,10 @@ class FlowHead(nn.Module):
         )
 
 
-class BasicUpdateBlock(nn.Module):
-    @nn.compact
-    def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
-        x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(name="gru")(net, x)
-        delta = FlowHead(name="flow_head")(net)
-        mask = nn.Conv(576, (1, 1), name="mask_conv2")(
-            nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
-        )
-        return net, 0.25 * mask, delta
-
-
 class _RAFTIteration(nn.Module):
-    """Scan body: correlation lookup + one GRU update. Parameter paths match
-    BasicUpdateBlock so checkpoint conversion is layout-independent."""
+    """Scan body: correlation lookup + one GRU update (motion encoder,
+    SepConvGRU, flow head, upsample-mask head — torch RAFT's BasicUpdateBlock;
+    parameter paths match the released checkpoints via convert_raft)."""
     radius: int = 4
     use_pallas: bool = False
 
@@ -285,14 +270,3 @@ class RAFT(nn.Module):
             (net, coords0), None, inp, pyramid, coords0
         )
         return upsample_flow_convex(coords1 - coords0, masks[-1])
-
-
-def init_raft_params(key, height: int = 64, width: int = 64):
-    model = RAFT()
-    dummy = jnp.zeros((height, width, 3), jnp.float32)
-    return model, model.init(key, dummy, dummy, iters=1)
-
-
-@partial(jax.jit, static_argnames=("iters", "model"))
-def raft_forward(model: RAFT, params, image1, image2, iters: int = 20):
-    return model.apply(params, image1, image2, iters=iters)

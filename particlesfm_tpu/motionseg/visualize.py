@@ -9,8 +9,6 @@ has no video codecs, so the artifact is per-frame PNGs + an animated GIF
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 from PIL import Image, ImageDraw
 

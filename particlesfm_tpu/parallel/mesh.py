@@ -17,7 +17,6 @@ mesh across hosts (DCN between slices) with no code changes here.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

@@ -13,7 +13,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..geometry import cameras as cam_models
 from ..io import colmap_model as cm
 from .mapper import Reconstruction
 

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry import cameras, rotations as rot, se3
+from ..geometry import cameras
 from ..globalsfm import (
     bundle_adjust,
     estimate_relative_poses,

@@ -40,7 +40,7 @@ from ..globalsfm import (
     refine_pairwise_translations,
     triangulate_tracks,
 )
-from ..globalsfm.ba import default_free_masks, refine_shared_focal
+from ..globalsfm.ba import default_free_masks
 from ..globalsfm.tracks3d import TrackObs
 from ..globalsfm.translation import directions_from_relative_poses
 from ..globalsfm.triplets import triplet_baseline_constraints
