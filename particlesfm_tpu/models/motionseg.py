@@ -83,10 +83,12 @@ class TrajTransformer(nn.Module):
                 tgt, memory=src, pad_mask=pad, train=train
             )
         tgt = tgt.reshape(B, N, L, self.d_model)
-        # masked max over time
+        # masked max over time; fully-invalid (padded) trajectories pool to 0,
+        # not -inf — otherwise the sentinel detonates the decoder
         neg = jnp.full_like(tgt, -1e9)
         pooled = jnp.max(jnp.where(valid[..., None], tgt, neg), axis=2)
-        return pooled  # [B, N, d_model]
+        any_valid = jnp.any(valid, axis=2)[..., None]
+        return jnp.where(any_valid, pooled, 0.0)  # [B, N, d_model]
 
 
 class PointCN(nn.Module):

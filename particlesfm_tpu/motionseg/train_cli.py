@@ -25,6 +25,8 @@ def main(argv=None):
     ap.add_argument("--data_root", type=str, default=None)
     ap.add_argument("--out_dir", type=str, required=True)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--synthetic3d", action="store_true",
+                    help="procedural 3D scenes with true parallax (synth3d.py)")
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--steps_per_epoch", type=int, default=50)  # synthetic mode
@@ -49,7 +51,17 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     h, w = args.resolution
 
-    if args.synthetic:
+    if args.synthetic3d:
+        from .synth3d import synth3d_batch
+
+        dh, dw = h // 8, w // 8
+
+        def epoch_batches():
+            for _ in range(args.steps_per_epoch):
+                yield synth3d_batch(rng, B=args.batch_size, depth_hw=(dh, dw))
+        sample = synth3d_batch(rng, B=args.batch_size, depth_hw=(dh, dw))
+        model = TrajOADepth(input_hw=(dh, dw))
+    elif args.synthetic:
         def epoch_batches():
             for _ in range(args.steps_per_epoch):
                 yield synthetic_motion_batch(rng, B=args.batch_size, H=h // 8, W=w // 8)

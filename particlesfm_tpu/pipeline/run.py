@@ -88,20 +88,51 @@ def _load_raft_apply(cfg: Config):
     return apply
 
 
+DEFAULT_SEG_CKPT = (
+    Path(__file__).resolve().parents[2] / "checkpoints" / "motionseg_synth3d.msgpack"
+)
+
+
 def _load_seg_apply(cfg: Config):
-    if cfg.motionseg.checkpoint is None:
+    """Build the jitted segmentation apply fn from a checkpoint.
+
+    Falls back to the repo's shipped synthetic-pretrained checkpoint when no
+    --seg_ckpt is given (the reference ships a FlyingThings3D-pretrained
+    artifact via download script; this environment cannot download, so the
+    default is trained on procedural 3D scenes — see motionseg/synth3d.py).
+    A sidecar <ckpt>.json may carry {"input_hw": [h, w]}; depth maps are
+    resized to the model's resolution on the fly.
+    """
+    import json
+
+    ckpt = cfg.motionseg.checkpoint
+    if ckpt is None and DEFAULT_SEG_CKPT.exists():
+        ckpt = str(DEFAULT_SEG_CKPT)
+    if ckpt is None:
         return None
     import jax
+    import jax.numpy as jnp
     from flax.serialization import msgpack_restore
     from ..models.motionseg import TrajOADepth
 
-    model = TrajOADepth(input_hw=tuple(cfg.motionseg.resolution))
-    with open(cfg.motionseg.checkpoint, "rb") as f:
-        variables = msgpack_restore(f.read())
+    input_hw = tuple(cfg.motionseg.resolution)
+    meta_path = Path(str(ckpt) + ".json")
+    if meta_path.exists():
+        input_hw = tuple(json.loads(meta_path.read_text())["input_hw"])
+    model = TrajOADepth(input_hw=input_hw)
+    with open(ckpt, "rb") as f:
+        blob = msgpack_restore(f.read())
+    variables = {"params": blob["params"]}
+    if "batch_stats" in blob:
+        variables["batch_stats"] = blob["batch_stats"]
 
     @jax.jit
     def apply(traj, depth, valid):
-        return model.apply(variables, traj, depth, valid, train=False)
+        L = depth.shape[1]
+        depth_r = jax.image.resize(
+            depth, (depth.shape[0], L, input_hw[0], input_hw[1]), "bilinear"
+        )
+        return model.apply(variables, traj, depth_r, valid, train=False)
 
     return apply
 
