@@ -4,6 +4,8 @@ This is the full spine (minus learned models, which have no released-weight
 source in this environment) exercised through the CLI orchestrator with the
 reference's on-disk contracts (.flo dirs, tracks, COLMAP model).
 """
+from pathlib import Path
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -76,3 +78,21 @@ def test_flo_roundtrip(tmp_path):
     flo_io.write_flo(tmp_path / "x.flo", flow)
     back = flo_io.read_flo(tmp_path / "x.flo")
     np.testing.assert_array_equal(back, flow)
+
+
+def test_synthetic_benchmark_smoke(tmp_path):
+    """2-sequence run of the acceptance harness (static-only for speed)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "run_synthetic_benchmark",
+        str(Path(__file__).parents[1] / "scripts" / "run_synthetic_benchmark.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main([
+        "--work_dir", str(tmp_path), "--num_seqs", "2", "--frames", "8",
+        "--dynamic_every", "0",
+    ])
+    assert rc == 0
+    report = (tmp_path / "seqs" / "errors_ate.txt").read_text()
+    assert "MEAN" in report and "failures 0/2" in report
