@@ -133,7 +133,16 @@ def generate_scene(rng, L=10, num_static=768, num_dyn_max=320,
             rng.uniform(0.1 * width, 0.9 * width, n_imp),
             rng.uniform(0.1 * height, 0.9 * height, n_imp),
         ], 1)
-        vel = rng.uniform(-6, 6, 2)
+        # velocity = mean static pixel motion + a clearly-separated offset;
+        # without the separation the label is genuinely ambiguous (uniform
+        # parallax fields also move at near-constant pixel velocity) and the
+        # noisy supervision stalls training
+        sv = np.where(in_img_s[:, :, None], uv_s, np.nan)
+        static_vel = np.nanmedian(np.diff(sv, axis=0), axis=(0, 1))
+        static_vel = np.where(np.isfinite(static_vel), static_vel, 0.0)
+        off = rng.normal(0, 1, 2)
+        off = off / max(np.linalg.norm(off), 1e-6) * rng.uniform(3.0, 8.0)
+        vel = static_vel + off
         for li in range(L):
             uv = base + vel * li
             ok = ((uv[:, 0] >= 0) & (uv[:, 0] < width)

@@ -33,6 +33,7 @@ class PairTensors:
     uv1: np.ndarray          # [E, M, 2] float32 pixel coords in image i
     uv2: np.ndarray          # [E, M, 2] float32 pixel coords in image j
     mask: np.ndarray         # [E, M] bool
+    track_idx: np.ndarray = None   # [E, M] int64 source track row (-1 padded)
 
 
 def static_observation_mask(tracks: TrackArrays, remove_dynamic: bool = True) -> np.ndarray:
@@ -103,6 +104,7 @@ def build_pair_tensors(
     uv1 = np.zeros((E, M, 2), np.float32)
     uv2 = np.zeros((E, M, 2), np.float32)
     pmask = np.zeros((E, M), bool)
+    tidx = np.full((E, M), -1, np.int64)
     for k, (i, j) in enumerate(pairs):
         common = np.nonzero(mask[:, i] & mask[:, j])[0]
         if len(common) > M:
@@ -110,7 +112,9 @@ def build_pair_tensors(
         uv1[k, : len(common)] = tracks.xy[common, i]
         uv2[k, : len(common)] = tracks.xy[common, j]
         pmask[k, : len(common)] = True
-    return PairTensors(pairs=pairs, counts=counts, uv1=uv1, uv2=uv2, mask=pmask)
+        tidx[k, : len(common)] = common
+    return PairTensors(pairs=pairs, counts=counts, uv1=uv1, uv2=uv2, mask=pmask,
+                       track_idx=tidx)
 
 
 def gather_triplet_points(
@@ -141,3 +145,31 @@ def gather_triplet_points(
         uv_k[a, : len(common)] = tracks.xy[common, k]
         out[a, : len(common)] = True
     return uv_i, uv_j, uv_k, out
+
+
+def geometric_dynamic_track_filter(
+    num_tracks: int,
+    pair_t: PairTensors,
+    verified: np.ndarray,        # [E] bool — pairs that passed verification
+    inliers: np.ndarray,         # [E, M] bool — two-view RANSAC inlier masks
+    max_inlier_rate: float = 0.3,
+    min_samples: int = 4,
+) -> np.ndarray:
+    """Learning-free dynamic-track detection by epipolar-consistency voting.
+
+    A static-scene track is an epipolar inlier in (nearly) every verified pair
+    it participates in; a track on an independently-moving object is rejected by
+    most pairwise RANSACs. Tracks with enough samples and a low inlier rate are
+    flagged dynamic. Returns [num_tracks] bool. This is a fallback complement to
+    the learned motion segmentation (the reference has no geometric filter — it
+    relies entirely on its trained network).
+    """
+    ti = pair_t.track_idx[verified]
+    pm = pair_t.mask[verified] & (ti >= 0)
+    inl = np.asarray(inliers)[verified] & pm
+    total = np.zeros(num_tracks, np.int64)
+    good = np.zeros(num_tracks, np.int64)
+    np.add.at(total, ti[pm], 1)
+    np.add.at(good, ti[inl], 1)
+    rate = good / np.maximum(total, 1)
+    return (total >= min_samples) & (rate < max_inlier_rate)

@@ -83,6 +83,18 @@ def run_incremental_mapper(
         jnp.asarray(thres_sq),
     )
     num_inl = np.asarray(tv.num_inliers)
+    if cfg.geometric_dynamic_filter:
+        from .correspondences import geometric_dynamic_track_filter
+
+        verified_pairs = num_inl >= cfg.geometric_verification_min_num_inliers
+        dyn = geometric_dynamic_track_filter(
+            tracks.num_tracks, pair_t, verified_pairs, np.asarray(tv.inliers),
+            cfg.geometric_dynamic_max_inlier_rate,
+            cfg.geometric_dynamic_min_samples,
+        )
+        if dyn.any():
+            log(f"[incremental] geometric dynamic filter flagged {int(dyn.sum())} tracks")
+            static_mask = static_mask & ~dyn[:, None]
     ang = np.asarray(tv.tri_angle)
     score = num_inl * np.minimum(np.degrees(ang), 10.0)
     score[num_inl < cfg.geometric_verification_min_num_inliers] = -1

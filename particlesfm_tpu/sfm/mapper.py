@@ -138,6 +138,18 @@ def run_global_mapper(
     if verified.sum() < 3:
         return _failed(num_images, params, height, width)
 
+    if cfg.geometric_dynamic_filter:
+        from .correspondences import geometric_dynamic_track_filter
+
+        dyn = geometric_dynamic_track_filter(
+            tracks.num_tracks, pair_t, verified, np.asarray(tv.inliers),
+            cfg.geometric_dynamic_max_inlier_rate,
+            cfg.geometric_dynamic_min_samples,
+        )
+        if dyn.any():
+            log(f"[mapper] geometric dynamic filter flagged {int(dyn.sum())} tracks")
+            static_mask = static_mask & ~dyn[:, None]
+
     pairs = pair_t.pairs[verified]
     counts = num_inl[verified]
     R_rel = np.array(rot.quat_to_rotmat(tv.q_rel))[verified]

@@ -122,6 +122,13 @@ class SfmConfig:
     geometric_verification_max_error_px: float = 4.0
     geometric_verification_min_inlier_ratio: float = 0.1
     geometric_verification_min_num_inliers: int = 15
+    # learning-free dynamic-track fallback: tracks whose correspondences are
+    # consistently REJECTED by the pairwise epipolar RANSAC are treated as
+    # dynamic (complements the learned motion segmentation; no reference
+    # equivalent — the reference relies entirely on the trained net)
+    geometric_dynamic_filter: bool = True
+    geometric_dynamic_max_inlier_rate: float = 0.3
+    geometric_dynamic_min_samples: int = 4
     filter_max_orientation_error_deg: float = 10.0
     rotation: RotationAveragingConfig = field(default_factory=RotationAveragingConfig)
     position: PositionAveragingConfig = field(default_factory=PositionAveragingConfig)
