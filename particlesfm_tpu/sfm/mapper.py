@@ -276,7 +276,8 @@ def run_global_mapper(
 
     # ---- triplet scale constraints (similarity averaging) -----------------
     trip_constraints = None
-    if cfg.position.use_scale_constraints:
+    tris = np.zeros((0, 3), np.int32)
+    if cfg.position.use_scale_constraints or cfg.position.method == "linear":
         tris = extract_triplets(spairs_m)
         if len(tris) > 2000:  # dense view graphs: cap the constraint set
             sel = np.random.default_rng(cfg.seed).choice(len(tris), 2000, replace=False)
@@ -311,14 +312,22 @@ def run_global_mapper(
             nz = int(np.sum(np.asarray(trip_constraints.weight) > 0))
             log(f"[mapper] {len(tris)} triplets, {nz} active scale constraints")
 
-    # ---- LUD position estimation -----------------------------------------
-    p_est, _ = estimate_positions_lud(
-        V,
-        jnp.asarray(spairs_m),
-        w_m,
-        jnp.ones(len(spairs_m), jnp.float32),
-        triplets=trip_constraints,
-    )
+    # ---- position estimation: LUD (default) or linear-spectral -------------
+    if cfg.position.method == "linear" and trip_constraints is not None and len(tris):
+        from ..globalsfm.linear_position import estimate_positions_linear
+
+        p_est = estimate_positions_linear(
+            V, jnp.asarray(spairs_m), w_m, jnp.asarray(tris), trip_constraints
+        )
+        log("[mapper] linear (spectral) position estimation done")
+    else:
+        p_est, _ = estimate_positions_lud(
+            V,
+            jnp.asarray(spairs_m),
+            w_m,
+            jnp.ones(len(spairs_m), jnp.float32),
+            triplets=trip_constraints,
+        )
     if cfg.position.method == "nonlinear":
         # 1DSfM chordal refinement on top of the LUD solution (the reference's
         # optional position method; deterministic init instead of random)

@@ -115,3 +115,16 @@ def test_nonlinear_position_refinement_runs():
     ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
     span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
     assert ate < 0.01 * span
+
+
+def test_linear_position_method():
+    sc = orbit_scene(num_views=8, num_points=250, pixel_noise=0.3, seed=6)
+    cfg = SfmConfig()
+    cfg.position.method = "linear"
+    rec = run_global_mapper(sc["tracks"], sc["height"], sc["width"], cfg, log=lambda *_: None)
+    assert rec.num_registered == 8
+    import jax.numpy as jnp
+    c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec)))
+    ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
+    span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+    assert ate < 0.01 * span, f"linear-method ATE {ate} vs span {span}"
