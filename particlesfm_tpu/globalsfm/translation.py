@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import epipolar, rotations as rot
+from ..geometry.linalg3 import eigh3x3_desc
 
 
 # ---------------------------------------------------------------------------
@@ -52,8 +53,11 @@ def _refine_one(x1, x2, mask, Ri, Rj, w_init, num_iters):
         e = jnp.abs(a @ w)
         wgt = m / jnp.maximum(e, 1e-7)
         C = jnp.einsum("n,ni,nj->ij", wgt, a, a)
-        evals, evecs = jnp.linalg.eigh(C)
-        return evecs[:, 0], None
+        # closed-form 3x3 eigendecomposition: C is near-singular BY DESIGN
+        # (its null direction is the solution), which drives XLA's iterative
+        # eigh to its worst case inside this scan
+        _, evecs = eigh3x3_desc(C)
+        return evecs[:, 2], None
 
     w, _ = jax.lax.scan(body, w_init, None, length=num_iters)
 

@@ -226,9 +226,15 @@ def run_global_mapper(
         jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv), jnp.asarray(obs_t.mask)
     )
 
-    if cfg.sfm_type == "glomap" or cfg.position.method == "glomap":
+    if (cfg.sfm_type == "glomap" or cfg.position.method == "glomap") and V <= 100:
         # ---- GLOMAP-mode: direct global positioning over bearings ----------
-        # skips pairwise translation refinement + MFAS + LUD entirely
+        # skips pairwise translation refinement + MFAS + LUD entirely.
+        # Gated to shorter sequences: with an off focal prior and rotations
+        # fixed, the bearing solve can produce a reprojection-consistent but
+        # metrically warped geometry that BA cannot escape (focal becomes
+        # near-unobservable at that point); the LUD path's slightly
+        # inconsistent init keeps the joint focal gradient alive. Joint
+        # intrinsics inside global positioning is the round-2 fix.
         from ..globalsfm.global_positioning import global_positioning
 
         x_cam = (obs_t.uv - params[2:4]) / focal
@@ -242,13 +248,27 @@ def run_global_mapper(
             V, jnp.asarray(rays, jnp.float32), obs.frame_idx, obs.mask,
             jax.random.PRNGKey(cfg.seed),
         )
-        log("[mapper] glomap-mode global positioning done")
         q_est = rot.rotmat_to_quat(R_abs)
         t_est = se3.pose_from_center(q_est, p_est)
-        return _refine_and_finish(
-            tracks, cfg, params, height, width, num_images, sub, full2sub,
-            obs, obs_t, q_est, t_est, V, N, log,
+        # quality gate: with a badly-off focal prior on long sequences the
+        # bearing-based solve can land outside BA's basin; verify by
+        # triangulation before committing, else fall through to the LUD path
+        X_chk = triangulate_tracks(q_est, t_est, jnp.asarray(params), obs)
+        _, valid_chk, err_chk = filter_observations(
+            q_est, t_est, jnp.asarray(params), X_chk, obs, 1e9, 0.0
         )
+        med_err = float(jnp.median(
+            jnp.where(obs.mask, err_chk, jnp.nan)[obs.mask]
+        ))
+        frac_valid = float(valid_chk.sum()) / max(N, 1)
+        log(f"[mapper] glomap positioning: median reproj {med_err:.1f}px, "
+            f"{frac_valid:.2f} tracks valid")
+        if med_err < 8.0 * cfg.ba.filter_max_reproj_error_px and frac_valid > 0.5:
+            return _refine_and_finish(
+                tracks, cfg, params, height, width, num_images, sub, full2sub,
+                obs, obs_t, q_est, t_est, V, N, log,
+            )
+        log("[mapper] glomap positioning rejected; falling back to LUD path")
 
     # ---- pairwise translation refinement ---------------------------------
     match_mask = inl_mask & (np.arange(inl_mask.shape[1])[None, :] >= 0)
