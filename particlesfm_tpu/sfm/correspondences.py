@@ -36,12 +36,21 @@ class PairTensors:
     track_idx: np.ndarray = None   # [E, M] int64 source track row (-1 padded)
 
 
-def static_observation_mask(tracks: TrackArrays, remove_dynamic: bool = True) -> np.ndarray:
+def static_observation_mask(tracks: TrackArrays, remove_dynamic: bool = True,
+                            max_dynamic_fraction: float = 0.6) -> np.ndarray:
     """Observation mask with dynamic-labeled points dropped
-    (matches_from_flow.py:76-79: labels==1 points are skipped)."""
+    (matches_from_flow.py:76-79: labels==1 points are skipped).
+
+    Safety guard beyond the reference: if the labels flag an implausible
+    fraction of observations (over-triggering segmentation would starve SfM of
+    static structure), the labels are ignored — the mapper's geometric
+    epipolar-voting filter still protects against real dynamic objects."""
     mask = tracks.mask.copy()
     if remove_dynamic and tracks.labels is not None:
-        mask &= tracks.labels == 0
+        dyn = (tracks.labels != 0) & mask
+        frac = dyn.sum() / max(mask.sum(), 1)
+        if frac <= max_dynamic_fraction:
+            mask &= tracks.labels == 0
     return mask
 
 
