@@ -71,6 +71,7 @@ class Reconstruction:
     obs_mask: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), bool))
     obs_error: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.float32))
     track_row: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.int64))
+    support: float = 0.0   # kept-observation fraction of the solver's obs set
 
     @property
     def num_registered(self) -> int:
@@ -97,7 +98,62 @@ def run_global_mapper(
     params: Optional[np.ndarray] = None,
     log=print,
 ) -> Reconstruction:
+    """Global mapper with dominant-object disambiguation.
+
+    A large rigidly-moving object is itself a valid "static scene" under a
+    different camera path; when the solver locks onto it, the true static
+    background is discarded as outliers and the final observation support is
+    low. In that case we reconstruct the rejected complement as the second
+    model hypothesis and keep whichever explains more observations — a
+    reconstruction-level sequential-RANSAC step the reference does not have
+    (it relies on its trained segmentation alone).
+    """
     cfg = cfg or SfmConfig()
+    rec = _run_global_mapper_once(tracks, height, width, cfg, params, log)
+    if rec.support < 0.5 and rec.num_registered >= 3:
+        log(f"[mapper] low support ({rec.support:.2f}); trying the complement model")
+        used_rows = set(rec.track_row[rec.track_valid].tolist())
+        comp_mask = tracks.mask.copy()
+        for r in used_rows:
+            comp_mask[r] = False
+        comp = TrackArrays(xy=tracks.xy, mask=comp_mask)
+        rec2 = _run_global_mapper_once(comp, height, width, cfg, params, log)
+        s1 = _model_score(rec, height, width)
+        s2 = _model_score(rec2, height, width)
+        log(f"[mapper] model scores (kept-obs x image coverage): "
+            f"primary {s1:.0f} vs complement {s2:.0f}")
+        if s2 > s1:
+            return rec2
+    return rec
+
+
+def _model_score(rec: Reconstruction, height: int, width: int,
+                 grid: int = 16) -> float:
+    """Disambiguation score: kept observations weighted by image coverage.
+
+    A dominant rigid object explains many observations but only in a compact,
+    moving image region; the true static background covers the frame. Coverage
+    = occupied fraction of a coarse cell grid over all kept observations."""
+    sel = rec.obs_mask & rec.track_valid[:, None]
+    if not sel.any():
+        return 0.0
+    uv = rec.obs_uv[sel]
+    gx = np.clip((uv[:, 0] / max(width, 1) * grid).astype(int), 0, grid - 1)
+    gy = np.clip((uv[:, 1] / max(height, 1) * grid).astype(int), 0, grid - 1)
+    occupied = np.zeros((grid, grid), bool)
+    occupied[gy, gx] = True
+    coverage = occupied.mean()
+    return float(sel.sum()) * float(coverage)
+
+
+def _run_global_mapper_once(
+    tracks: TrackArrays,
+    height: int,
+    width: int,
+    cfg: SfmConfig,
+    params: Optional[np.ndarray] = None,
+    log=print,
+) -> Reconstruction:
     if params is None:
         params = np.asarray(cameras.make_default_params(height, width), np.float32)
     num_images = tracks.num_frames
@@ -406,9 +462,14 @@ def _refine_and_finish(
                 q_cur, t_cur, jparams, X, obs, 1e9, 0.0
             )
             med = float(jnp.median(jnp.where(obs.mask, errs_now, jnp.nan)[obs.mask]))
+            # annealed gate: adaptive (up to 8x) while the focal/geometry is
+            # still settling in phase 0, strict in the late joint rounds —
+            # a permanently adaptive threshold balloons on contaminated scenes
+            # (slow-moving objects) and locks the contamination in
+            cap = 8.0 if (phase == 0 or it == 0) else 1.0
             thr = float(
                 np.clip(3.0 * med, cfg.ba.filter_max_reproj_error_px,
-                        8.0 * cfg.ba.filter_max_reproj_error_px)
+                        cap * cfg.ba.filter_max_reproj_error_px)
             )
             good, valid, errs = filter_observations(
                 q_cur, t_cur, jparams, X, obs, thr, cfg.ba.filter_min_tri_angle_deg,
@@ -451,4 +512,6 @@ def _refine_and_finish(
         obs_mask=np.asarray(good),
         obs_error=np.asarray(errs),
         track_row=obs_t.track_row,
+        support=float(jnp.sum((good & valid[:, None]).astype(jnp.float32))
+                      / jnp.sum(obs.mask)),
     )
