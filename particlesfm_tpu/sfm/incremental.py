@@ -224,6 +224,7 @@ def run_incremental_mapper(
         f"{int(valid.sum())} points")
 
     gated = good & registered[obs_t.frame_idx]
+    support = float((gated & valid[:, None]).sum()) / max(int(obs_t.mask.sum()), 1)
     return Reconstruction(
         num_images=num_images,
         registered=registered,
@@ -239,4 +240,5 @@ def run_incremental_mapper(
         obs_mask=gated,
         obs_error=np.asarray(errs),
         track_row=obs_t.track_row,
+        support=support,
     )
