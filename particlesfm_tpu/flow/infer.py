@@ -1,0 +1,120 @@
+"""Flow-net inference: checkpoint loading, padding, jitted pair apply.
+
+The pipeline-facing counterpart of the reference's RAFT submodule entry points
+(`compute_raft_custom_folder`, /root/reference/run_particlesfm.py:31-36): given
+a checkpoint, returns `apply(img1, img2) -> flow [H, W, 2]` for arbitrary image
+sizes (inputs padded to a multiple of 8 like torch RAFT's InputPadder, flow
+cropped back). Checkpoints carry a sidecar JSON with the model configuration so
+compact (in-environment-trained) and full (torch-converted) variants load
+through one path.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def pad_to_multiple(img, mult: int = 8):
+    """Edge-pad [H, W, C] (numpy or jax) to multiples of `mult`; returns
+    (padded, (H, W))."""
+    H, W = img.shape[0], img.shape[1]
+    ph = (-H) % mult
+    pw = (-W) % mult
+    if ph == 0 and pw == 0:
+        return img, (H, W)
+    import jax.numpy as jnp
+
+    pad = [(0, ph), (0, pw), (0, 0)]
+    return jnp.pad(img, pad, mode="edge"), (H, W)
+
+
+def model_from_meta(meta: dict):
+    from ..models.raft import RAFT, compact_raft
+
+    if meta.get("variant", "compact") == "compact":
+        return compact_raft()
+    return RAFT()
+
+
+def save_flow_checkpoint(path, params, variant: str = "compact", extra: dict | None = None):
+    from flax.serialization import msgpack_serialize
+    import jax
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    blob = {"params": jax.device_get(params)}
+    path.write_bytes(msgpack_serialize(blob))
+    meta = {"variant": variant}
+    meta.update(extra or {})
+    Path(str(path) + ".json").write_text(json.dumps(meta, indent=2))
+
+
+def load_flow_checkpoint(path):
+    from flax.serialization import msgpack_restore
+
+    blob = msgpack_restore(Path(path).read_bytes())
+    meta_path = Path(str(path) + ".json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return blob["params"], meta
+
+
+def load_flow_apply(ckpt, iters: int = 12):
+    """Jitted `apply(img1, img2) -> flow [H, W, 2]` from a checkpoint.
+
+    Images: [H, W, 3] in [0, 255] (any float/uint dtype). The GRU iteration
+    count defaults to the checkpoint's training value when recorded.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params, meta = load_flow_checkpoint(ckpt)
+    model = model_from_meta(meta)
+    n_iters = int(meta.get("iters", iters))
+
+    @jax.jit
+    def _run(img1, img2):
+        # the flow net does not need the package-global f32-highest matmuls;
+        # default (bf16 passes on TPU) keeps the convs on the MXU fast path
+        with jax.default_matmul_precision("default"):
+            return model.apply({"params": params}, img1, img2, iters=n_iters)
+
+    def apply(img1, img2):
+        img1 = jnp.asarray(img1, jnp.float32)
+        img2 = jnp.asarray(img2, jnp.float32)
+        p1, (H, W) = pad_to_multiple(img1)
+        p2, _ = pad_to_multiple(img2)
+        return _run(p1, p2)[:H, :W]
+
+    return apply
+
+
+def load_flow_apply_batch(ckpt, iters: int = 12):
+    """Batched `apply(img1s, img2s) -> flows [B, H, W, 2]` (vmapped over pairs;
+    under a pjit mesh the leading pair axis shards data-parallel)."""
+    import jax
+    import jax.numpy as jnp
+
+    params, meta = load_flow_checkpoint(ckpt)
+    model = model_from_meta(meta)
+    n_iters = int(meta.get("iters", iters))
+
+    def _one(img1, img2):
+        with jax.default_matmul_precision("default"):
+            return model.apply({"params": params}, img1, img2, iters=n_iters)
+
+    run = jax.jit(jax.vmap(_one))
+
+    def apply(img1s, img2s):
+        img1s = jnp.asarray(img1s, jnp.float32)
+        img2s = jnp.asarray(img2s, jnp.float32)
+        B, H, W, _ = img1s.shape
+        ph = (-H) % 8
+        pw = (-W) % 8
+        if ph or pw:
+            img1s = jnp.pad(img1s, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            img2s = jnp.pad(img2s, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        return run(img1s, img2s)[:, :H, :W]
+
+    return apply

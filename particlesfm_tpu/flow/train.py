@@ -1,0 +1,158 @@
+"""Compact-RAFT trainer on synth renders (in-environment flow weights).
+
+Standard RAFT recipe (Teed & Deng ECCV'20) adapted to the compact config:
+sequence loss sum_i gamma^(N-i) ||f_i - gt||_1 over GRU iterations, AdamW +
+one-cycle LR, gradient clipping. Runs on one TPU chip (or CPU for smoke tests).
+
+Usage:
+    python -m particlesfm_tpu.flow.train --out checkpoints/raft_synth.msgpack \
+        --scenes 120 --steps 6000
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def sequence_loss(flows_pred, flow_gt, gamma: float = 0.8, max_flow: float = 400.0):
+    import jax.numpy as jnp
+
+    mag = jnp.linalg.norm(flow_gt, axis=-1)
+    valid = (mag < max_flow).astype(jnp.float32)[None, ..., None]
+    n = flows_pred.shape[0]
+    weights = gamma ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+    l1 = jnp.abs(flows_pred - flow_gt[None])
+    per_iter = jnp.mean(l1 * valid, axis=(1, 2, 3, 4))
+    return jnp.sum(weights * per_iter)
+
+
+def epe(flow_pred, flow_gt):
+    return float(np.mean(np.linalg.norm(np.asarray(flow_pred) - flow_gt, axis=-1)))
+
+
+def train(
+    out_path,
+    num_scenes: int = 120,
+    steps: int = 6000,
+    batch: int = 4,
+    iters: int = 12,
+    lr: float = 2e-4,
+    seed: int = 0,
+    dataset_cache: str | None = None,
+    workers: int = 4,
+    eval_every: int = 500,
+    log=print,
+):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.serialization import msgpack_restore
+
+    from ..models.raft import compact_raft
+    from .data import FlowPairSpec, generate_dataset, load_dataset, save_dataset
+    from .infer import save_flow_checkpoint
+
+    t0 = time.time()
+    if dataset_cache and Path(dataset_cache).exists():
+        i1, i2, fl = load_dataset(dataset_cache)
+        log(f"[flowtrain] loaded cached dataset: {len(i1)} pairs")
+    else:
+        i1, i2, fl = generate_dataset(num_scenes, FlowPairSpec(), seed=seed,
+                                      workers=workers, log=log)
+        if dataset_cache:
+            save_dataset(dataset_cache, i1, i2, fl)
+        log(f"[flowtrain] rendered {len(i1)} pairs in {time.time() - t0:.0f}s")
+    # held-out split for EPE tracking
+    n_val = max(8, len(i1) // 20)
+    val = (i1[:n_val], i2[:n_val], fl[:n_val].astype(np.float32))
+    i1, i2, fl = i1[n_val:], i2[n_val:], fl[n_val:]
+
+    model = compact_raft()
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng, jnp.zeros((64, 64, 3)), jnp.zeros((64, 64, 3)), iters=1)[
+        "params"
+    ]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    log(f"[flowtrain] compact RAFT: {n_params/1e6:.2f}M params")
+
+    sched = optax.linear_onecycle_schedule(steps, lr, pct_start=0.1)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=1e-5),
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(p, b1, b2, bf):
+        with jax.default_matmul_precision("default"):
+            preds = jax.vmap(
+                lambda a, b: model.apply({"params": p}, a, b, iters=iters, all_iters=True)
+            )(b1, b2)                       # [B, iters, H, W, 2]
+        preds = jnp.moveaxis(preds, 1, 0)   # [iters, B, H, W, 2]
+        return sequence_loss(preds, bf)
+
+    @jax.jit
+    def step(p, s, b1, b2, bf):
+        loss, g = jax.value_and_grad(loss_fn)(p, b1, b2, bf)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    @jax.jit
+    def infer(p, a, b):
+        with jax.default_matmul_precision("default"):
+            return jax.vmap(
+                lambda x, y: model.apply({"params": p}, x, y, iters=iters)
+            )(a, b)
+
+    nrng = np.random.default_rng(seed + 1)
+    best_epe = np.inf
+    t0 = time.time()
+    losses = []
+    for it in range(steps):
+        idx = nrng.integers(0, len(i1), batch)
+        b1 = jnp.asarray(i1[idx], jnp.float32)
+        b2 = jnp.asarray(i2[idx], jnp.float32)
+        bf = jnp.asarray(fl[idx], jnp.float32)
+        params, opt_state, loss = step(params, opt_state, b1, b2, bf)
+        losses.append(float(loss))
+        if (it + 1) % 100 == 0:
+            log(f"[flowtrain] step {it+1}/{steps} loss {np.mean(losses[-100:]):.3f} "
+                f"({(it+1)/(time.time()-t0):.1f} it/s)")
+        if (it + 1) % eval_every == 0 or it + 1 == steps:
+            errs = []
+            for k in range(0, len(val[0]), batch):
+                pred = infer(params, jnp.asarray(val[0][k:k+batch], jnp.float32),
+                             jnp.asarray(val[1][k:k+batch], jnp.float32))
+                errs.append(epe(pred, val[2][k:k+batch]))
+            cur = float(np.mean(errs))
+            log(f"[flowtrain] step {it+1}: val EPE {cur:.3f} px")
+            if cur < best_epe:
+                best_epe = cur
+                save_flow_checkpoint(out_path, params, "compact",
+                                     {"iters": iters, "val_epe": cur})
+                log(f"[flowtrain] saved {out_path} (EPE {cur:.3f})")
+    return best_epe
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scenes", type=int, default=120)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dataset_cache", default=None)
+    ap.add_argument("--workers", type=int, default=4)
+    args = ap.parse_args(argv)
+    best = train(args.out, args.scenes, args.steps, args.batch, args.iters,
+                 args.lr, args.seed, args.dataset_cache, args.workers)
+    print(f"best val EPE: {best:.3f} px")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

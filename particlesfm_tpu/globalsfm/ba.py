@@ -78,7 +78,11 @@ def _residuals_jacobians(q, t, params, X, obs: TrackObs, w_obs):
     return r * sw, J_cam * sw[..., None], J_pt * sw[..., None], J_f * sw
 
 
-def _robust_weights(q, t, params, X, obs: TrackObs, loss_scale, use_soft_l1: bool):
+def _robust_weights(q, t, params, X, obs: TrackObs, loss_scale, use_soft_l1: bool,
+                    pm=None):
+    """IRLS weights + robust cost. `pm` ([N, 1] point mask) gates observations of
+    tracks excluded from the solve out of BOTH the weights and the cost, so the
+    LM accept/reject decision only sees residuals the step actually optimizes."""
     fx, fy, cx, cy = params[0], params[1], params[2], params[3]
     qo = q[obs.frame_idx]
     to = t[obs.frame_idx]
@@ -89,6 +93,8 @@ def _robust_weights(q, t, params, X, obs: TrackObs, loss_scale, use_soft_l1: boo
     v = fy * x_cam[..., 1] / z_safe + cy
     r2 = (u - obs.uv[..., 0]) ** 2 + (v - obs.uv[..., 1]) ** 2
     m = obs.mask.astype(r2.dtype)
+    if pm is not None:
+        m = m * pm
     if use_soft_l1:
         w = m / jnp.sqrt(1.0 + r2 / (loss_scale * loss_scale))
     else:
@@ -182,8 +188,7 @@ def bundle_adjust(
 
     def lm_step(carry, _):
         q, t, X, params, lam = carry
-        w_obs, cost0 = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
-        w_obs = w_obs * pm
+        w_obs, cost0 = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1, pm)
         r, Jc, Jp, Jf = _residuals_jacobians(q, t, params, X, obs, w_obs)
 
         # --- assemble blocks -------------------------------------------------
@@ -355,10 +360,8 @@ def bundle_adjust(
         t_new = t + dc[:, 3:]
         X_new = X + dp
         params_new = params.at[0].add(df).at[1].add(df)
-        # invalid tracks contribute the same constant to both costs (their X is
-        # frozen by pm), so the accept/reject comparison is unaffected by them
         _, cost1 = _robust_weights(
-            q_new, t_new, params_new, X_new, obs, loss_scale, use_soft_l1
+            q_new, t_new, params_new, X_new, obs, loss_scale, use_soft_l1, pm
         )
         accept = cost1 < cost0
         q = jnp.where(accept, q_new, q)
@@ -374,7 +377,7 @@ def bundle_adjust(
         None,
         length=max_iterations,
     )
-    _, final_cost = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1)
+    _, final_cost = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1, pm)
     return BAState(q=q, t=t, X=X, params=params, cost=final_cost, lam=lam)
 
 

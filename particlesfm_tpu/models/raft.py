@@ -57,16 +57,18 @@ class ResidualBlock(nn.Module):
 class BasicEncoder(nn.Module):
     output_dim: int = 256
     norm: str = "instance"
+    base: int = 64          # layer widths (base, 3*base/2, 2*base); 64 = raft-things
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, name="conv1")(x)
+        b = self.base
+        x = nn.Conv(b, (7, 7), strides=2, padding=3, name="conv1")(x)
         if self.norm == "batch":
             x = nn.BatchNorm(use_running_average=True, name="norm1")(x)
         elif self.norm == "instance":
             x = _instance_norm(x)
         x = nn.relu(x)
-        for i, (planes, stride) in enumerate(((64, 1), (96, 2), (128, 2))):
+        for i, (planes, stride) in enumerate(((b, 1), (3 * b // 2, 2), (2 * b, 2))):
             x = ResidualBlock(planes, stride, self.norm, name=f"layer{i+1}_0")(x)
             x = ResidualBlock(planes, 1, self.norm, name=f"layer{i+1}_1")(x)
         return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
@@ -148,14 +150,19 @@ def lookup_corr(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 class BasicMotionEncoder(nn.Module):
+    dims: tuple = (256, 192, 128, 64, 128)  # convc1, convc2, convf1, convf2, out
+
     @nn.compact
     def __call__(self, flow, corr):
-        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
-        c = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(c))
-        f = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(f))
-        out = nn.relu(nn.Conv(126, (3, 3), padding=1, name="conv")(jnp.concatenate([c, f], -1)))
-        return jnp.concatenate([out, flow], axis=-1)           # 128 channels
+        d = self.dims
+        c = nn.relu(nn.Conv(d[0], (1, 1), name="convc1")(corr))
+        c = nn.relu(nn.Conv(d[1], (3, 3), padding=1, name="convc2")(c))
+        f = nn.relu(nn.Conv(d[2], (7, 7), padding=3, name="convf1")(flow))
+        f = nn.relu(nn.Conv(d[3], (3, 3), padding=1, name="convf2")(f))
+        out = nn.relu(
+            nn.Conv(d[4] - 2, (3, 3), padding=1, name="conv")(jnp.concatenate([c, f], -1))
+        )
+        return jnp.concatenate([out, flow], axis=-1)           # d[4] channels
 
 
 class SepConvGRU(nn.Module):
@@ -178,10 +185,12 @@ class SepConvGRU(nn.Module):
 
 
 class FlowHead(nn.Module):
+    hidden: int = 256
+
     @nn.compact
     def __call__(self, h):
         return nn.Conv(2, (3, 3), padding=1, name="conv2")(
-            nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv1")(h))
+            nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, name="conv1")(h))
         )
 
 
@@ -191,6 +200,10 @@ class _RAFTIteration(nn.Module):
     parameter paths match the released checkpoints via convert_raft)."""
     radius: int = 4
     use_pallas: bool = False
+    hidden_dim: int = 128
+    motion_dims: tuple = (256, 192, 128, 64, 128)
+    head_hidden: int = 256
+    mask_hidden: int = 256
 
     @nn.compact
     def __call__(self, carry, _, inp, pyramid, coords0):
@@ -202,14 +215,14 @@ class _RAFTIteration(nn.Module):
         else:
             corr = lookup_corr(pyramid, coords1, self.radius)
         flow = coords1 - coords0
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        motion = BasicMotionEncoder(self.motion_dims, name="encoder")(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(name="gru")(net, x)
-        delta = FlowHead(name="flow_head")(net)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
+        delta = FlowHead(self.head_hidden, name="flow_head")(net)
         mask = nn.Conv(576, (1, 1), name="mask_conv2")(
-            nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
+            nn.relu(nn.Conv(self.mask_hidden, (3, 3), padding=1, name="mask_conv1")(net))
         )
-        return (net, coords1 + delta), 0.25 * mask
+        return (net, coords1 + delta), (0.25 * mask, coords1 + delta)
 
 
 def upsample_flow_convex(flow, mask):
@@ -233,21 +246,34 @@ class RAFT(nn.Module):
     The GRU recurrence runs under nn.scan (one compiled iteration body with
     shared parameters); use_pallas routes the correlation lookup through the
     windowed-DMA Pallas kernel (ops/corr_lookup.py) on TPU.
+
+    Defaults are the raft-things configuration (released torch checkpoints
+    import via convert_raft). `compact_raft()` builds the small configuration
+    trained in-environment on synth renders (flow/train.py).
     """
     num_levels: int = 4
     radius: int = 4
     hidden_dim: int = 128
     context_dim: int = 128
     use_pallas: bool = False
+    enc_dim: int = 256
+    enc_base: int = 64
+    motion_dims: tuple = (256, 192, 128, 64, 128)
+    head_hidden: int = 256
+    mask_hidden: int = 256
+    cnet_norm: str = "batch"   # torch-checkpoint parity; "instance" when training
+                               # from scratch (no batch_stats collection needed)
 
     @nn.compact
-    def __call__(self, image1, image2, iters: int = 20):
+    def __call__(self, image1, image2, iters: int = 20, all_iters: bool = False):
         img1 = 2.0 * (image1 / 255.0) - 1.0
         img2 = 2.0 * (image2 / 255.0) - 1.0
-        fnet = BasicEncoder(256, "instance", name="fnet")
+        fnet = BasicEncoder(self.enc_dim, "instance", self.enc_base, name="fnet")
         fmap1 = fnet(img1)
         fmap2 = fnet(img2)
-        cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch", name="cnet")(img1)
+        cnet = BasicEncoder(
+            self.hidden_dim + self.context_dim, self.cnet_norm, self.enc_base, name="cnet"
+        )(img1)
         net = jnp.tanh(cnet[..., : self.hidden_dim])
         inp = nn.relu(cnet[..., self.hidden_dim :])
 
@@ -265,8 +291,31 @@ class RAFT(nn.Module):
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             length=iters,
         )
-        step = scan(self.radius, self.use_pallas, name="update_block")
-        (net, coords1), masks = step(
+        step = scan(
+            self.radius, self.use_pallas, self.hidden_dim, self.motion_dims,
+            self.head_hidden, self.mask_hidden, name="update_block",
+        )
+        (net, coords1), (masks, coords_seq) = step(
             (net, coords0), None, inp, pyramid, coords0
         )
+        if all_iters:
+            # per-iteration upsampled predictions for the RAFT sequence loss
+            return jax.vmap(upsample_flow_convex)(coords_seq - coords0[None], masks)
         return upsample_flow_convex(coords1 - coords0, masks[-1])
+
+
+def compact_raft(use_pallas: bool = False) -> RAFT:
+    """The small in-environment-trainable configuration (~1.1M params): same
+    architecture family and correlation pyramid coverage as raft-things, half
+    the encoder width, 64-d GRU."""
+    return RAFT(
+        hidden_dim=64,
+        context_dim=64,
+        enc_dim=128,
+        enc_base=32,
+        motion_dims=(96, 64, 48, 32, 64),
+        head_hidden=128,
+        mask_hidden=128,
+        cnet_norm="instance",
+        use_pallas=use_pallas,
+    )

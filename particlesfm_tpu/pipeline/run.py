@@ -65,32 +65,57 @@ def config_from_args(args) -> Config:
     cfg.sfm.sfm_type = args.sfm_type
     cfg.flow.checkpoint = args.raft_ckpt
     cfg.motionseg.checkpoint = args.seg_ckpt
+    cfg.depth.checkpoint = args.depth_ckpt
     return cfg
 
 
+_CKPT_DIR = Path(__file__).resolve().parents[2] / "checkpoints"
+DEFAULT_SEG_CKPT = _CKPT_DIR / "motionseg_synth3d.msgpack"
+DEFAULT_RAFT_CKPT = _CKPT_DIR / "raft_synth.msgpack"
+DEFAULT_DEPTH_CKPT = _CKPT_DIR / "depth_synth.msgpack"
+
+
 def _load_raft_apply(cfg: Config):
-    if cfg.flow.checkpoint is None:
+    """Build the jitted flow apply fn; falls back to the in-environment-trained
+    compact checkpoint (the reference downloads released raft-things weights via
+    scripts/download_models_thirdparty.sh:8-11 — zero egress here, so the
+    default is trained on textured renders of the ray-cast scene generator)."""
+    ckpt = cfg.flow.checkpoint
+    if ckpt is None and DEFAULT_RAFT_CKPT.exists():
+        ckpt = str(DEFAULT_RAFT_CKPT)
+    if ckpt is None:
+        return None
+    from ..flow.infer import load_flow_apply
+
+    return load_flow_apply(ckpt, iters=cfg.flow.iters)
+
+
+def _load_depth_apply(cfg: Config):
+    """Build the jitted depth apply fn from a checkpoint (run_midas counterpart,
+    /root/reference/run_particlesfm.py:55-57). Default: in-environment-trained
+    checkpoint on ray-cast renders with ground-truth inverse depth."""
+    ckpt = cfg.depth.checkpoint
+    if ckpt is None and DEFAULT_DEPTH_CKPT.exists():
+        ckpt = str(DEFAULT_DEPTH_CKPT)
+    if ckpt is None:
         return None
     import jax
     import jax.numpy as jnp
     from flax.serialization import msgpack_restore
-    from ..models.raft import RAFT
+    from ..models.depth import DepthNet
 
-    model = RAFT(num_levels=cfg.flow.corr_levels, radius=cfg.flow.corr_radius)
-    with open(cfg.flow.checkpoint, "rb") as f:
-        variables = msgpack_restore(f.read())
-    iters = cfg.flow.iters
+    with open(ckpt, "rb") as f:
+        blob = msgpack_restore(f.read())
+    variables = {"params": blob["params"]}
+    if "batch_stats" in blob:
+        variables["batch_stats"] = blob["batch_stats"]
+    model = DepthNet(base=cfg.depth.base)
 
     @jax.jit
-    def apply(img1, img2):
-        return model.apply(variables, jnp.asarray(img1), jnp.asarray(img2), iters=iters)
+    def apply(img):
+        return model.apply(variables, jnp.asarray(img), train=False)
 
     return apply
-
-
-DEFAULT_SEG_CKPT = (
-    Path(__file__).resolve().parents[2] / "checkpoints" / "motionseg_synth3d.msgpack"
-)
 
 
 def _load_seg_apply(cfg: Config):
@@ -161,12 +186,19 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
         if seg_apply is None:
             log("[pipeline] no segmentation checkpoint; treating scene as static")
         else:
-            with timer.stage("depth"):
-                depths = stages.depth_stage(images, out, cfg, None, log=log)
-            with timer.stage("motion_seg"):
-                tracks = stages.motionseg_stage(
-                    tracks, depths, (H, W), out, cfg, seg_apply, log=log
-                )
+            try:
+                with timer.stage("depth"):
+                    depths = stages.depth_stage(
+                        images, out, cfg, _load_depth_apply(cfg), log=log
+                    )
+            except RuntimeError as e:
+                log(f"[pipeline] WARNING: {e}; degrading to assume-static")
+                depths = None
+            if depths is not None:
+                with timer.stage("motion_seg"):
+                    tracks = stages.motionseg_stage(
+                        tracks, depths, (H, W), out, cfg, seg_apply, log=log
+                    )
 
     # stage 4: global SfM
     rec = tracks

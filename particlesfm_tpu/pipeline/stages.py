@@ -61,9 +61,18 @@ def flow_stage(
         npairs = T - abs(stride)
         if cfg.skip_exists and _flow_dir_complete(d, npairs):
             log(f"[flow] {name}: reusing {npairs} existing .flo files")
-            result[name] = np.stack(
-                [flo_io.read_flo(p) for p in sorted(d.glob("*.flo"))]
+            # slice to exactly npairs: stale extra files from a previous longer
+            # run of the same output dir must not desynchronize pair indexing
+            stack = np.stack(
+                [flo_io.read_flo(p) for p in sorted(d.glob("*.flo"))[:npairs]]
             )
+            H, W = images.shape[1], images.shape[2]
+            if stack.shape != (npairs, H, W, 2):
+                raise RuntimeError(
+                    f"flow stage: {d} holds flow of shape {stack.shape[1:3]}, "
+                    f"expected {(H, W)} for {npairs} pairs — stale flow dir?"
+                )
+            result[name] = stack
             continue
         if raft_apply is None:
             raise RuntimeError(
@@ -136,7 +145,9 @@ def depth_stage(
     d = Path(out_dir) / "depth"
     T = images.shape[0]
     existing = sorted(d.glob("*.png")) if d.is_dir() else []
-    if cfg.skip_exists and len(existing) >= T:
+    # reuse precomputed PNGs under --skip_exists, or unconditionally when no
+    # depth net is available (they are the only possible depth source then)
+    if len(existing) >= T and (cfg.skip_exists or depth_apply is None):
         log(f"[depth] reusing {T} existing depth PNGs")
         return np.stack([read_depth_png16(p) for p in existing[:T]])
     if depth_apply is None:

@@ -29,6 +29,14 @@ class FlowConfig:
 
 
 @dataclass
+class DepthConfig:
+    # MiDaS-class relative depth net (reference: third_party/MiDaS fork,
+    # run_particlesfm.py:55-57); consumed only by motion-seg featurization
+    base: int = 32
+    checkpoint: Optional[str] = None
+
+
+@dataclass
 class TrackConfig:
     # trajectory engine (reference defaults: run_particlesfm.py:124-129)
     sample_ratio: int = 2
@@ -152,6 +160,7 @@ class Config:
     skip_exists: bool = False
     keep_intermediate: bool = False
     flow: FlowConfig = field(default_factory=FlowConfig)
+    depth: DepthConfig = field(default_factory=DepthConfig)
     track: TrackConfig = field(default_factory=TrackConfig)
     motionseg: MotionSegConfig = field(default_factory=MotionSegConfig)
     train: TrainConfig = field(default_factory=TrainConfig)

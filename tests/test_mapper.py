@@ -87,8 +87,10 @@ def test_mapper_fails_gracefully_on_garbage():
         mask=rng.random((50, 6)) < 0.3,
     )
     rec = run_global_mapper(tracks, 100, 100, SfmConfig(), log=lambda *_: None)
-    # random tracks: either fails outright or registers nothing meaningful
-    assert rec.num_registered in (0,) or rec.points.shape[0] >= 0
+    # random tracks must be rejected outright (no covisible pairs survive the
+    # two-view gate) — a graceful failed reconstruction, not a bogus model
+    assert rec.num_registered == 0
+    assert rec.points.shape[0] == 0
 
 
 def test_glomap_mode_matches_or_beats_global():
