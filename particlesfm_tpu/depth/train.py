@@ -1,0 +1,185 @@
+"""DepthNet trainer on synth renders (in-environment MiDaS-contract weights).
+
+The reference downloads midas_v21 weights (scripts/download_models_thirdparty.sh)
+and consumes depth only through the motion-seg featurization as per-frame
+relative inverse depth in [0, 1] (load_cut_seq.py:41). This trainer produces a
+checkpoint honoring that contract from the same textured ray-cast world the
+flow net trains on, using the scale-shift-invariant loss (models/depth.py).
+
+Usage:
+    python -m particlesfm_tpu.depth.train --out checkpoints/depth_synth.msgpack
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _gen_scene_frames(args):
+    seed, hw, frames = args
+    from ..synth import random_scene
+
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    sc = random_scene(
+        rng, num_views=frames, height=h, width=w,
+        focal=1.2 * w * rng.uniform(0.8, 1.3),
+        num_dynamic=int(rng.integers(0, 3)),
+        motion_scale=float(rng.uniform(0.2, 0.6)),
+        rot_scale=float(rng.uniform(0.3, 1.0)),
+    )
+    out = []
+    for t in range(frames):
+        out.append((sc.render(t), sc.gt_inverse_depth_norm(t).astype(np.float16)))
+    return out
+
+def generate_depth_dataset(num_scenes: int, hw=(256, 320), frames: int = 3,
+                           seed: int = 0, workers: int = 4, log=print):
+    jobs = [(seed * 77003 + i, hw, frames) for i in range(num_scenes)]
+    out = []
+    if workers > 1:
+        with mp.get_context("spawn").Pool(workers) as pool:
+            for i, fr in enumerate(pool.imap_unordered(_gen_scene_frames, jobs)):
+                out.extend(fr)
+                if (i + 1) % 20 == 0:
+                    log(f"[depthdata] {i+1}/{num_scenes} scenes")
+    else:
+        for job in jobs:
+            out.extend(_gen_scene_frames(job))
+    imgs = np.stack([o[0] for o in out])
+    deps = np.stack([o[1] for o in out])
+    return imgs, deps
+
+
+def train(
+    out_path,
+    num_scenes: int = 150,
+    steps: int = 3000,
+    batch: int = 8,
+    lr: float = 2e-4,
+    seed: int = 0,
+    dataset_cache: str | None = None,
+    workers: int = 4,
+    eval_every: int = 500,
+    log=print,
+):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.serialization import msgpack_serialize
+
+    from ..models.depth import DepthNet, scale_shift_invariant_loss
+
+    t0 = time.time()
+    if dataset_cache and Path(dataset_cache).exists():
+        z = np.load(dataset_cache)
+        imgs, deps = z["images"], z["depths"]
+        log(f"[depthtrain] loaded cached dataset: {len(imgs)} frames")
+    else:
+        imgs, deps = generate_depth_dataset(num_scenes, seed=seed, workers=workers, log=log)
+        if dataset_cache:
+            np.savez_compressed(dataset_cache, images=imgs, depths=deps)
+        log(f"[depthtrain] rendered {len(imgs)} frames in {time.time()-t0:.0f}s")
+    n_val = min(max(8, len(imgs) // 20), len(imgs) // 2)
+    val = (imgs[:n_val], deps[:n_val].astype(np.float32))
+    imgs, deps = imgs[n_val:], deps[n_val:]
+
+    model = DepthNet()
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((64, 64, 3)), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sched = optax.linear_onecycle_schedule(steps, lr, pct_start=0.1)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched, weight_decay=1e-5))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, bi, bd):
+        def one(im, d):
+            with jax.default_matmul_precision("default"):
+                pred, upd = model.apply(
+                    {"params": p, "batch_stats": bs}, im, train=True,
+                    mutable=["batch_stats"],
+                )
+            return scale_shift_invariant_loss(pred, d, jnp.ones_like(d)), upd["batch_stats"]
+
+        losses, upds = jax.vmap(one)(bi, bd)
+        # per-sample running-stat updates are averaged across the batch
+        new_bs = jax.tree.map(lambda x: x.mean(0), upds)
+        return losses.mean(), new_bs
+
+    @jax.jit
+    def step(p, bs, s, bi, bd):
+        (loss, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, bi, bd)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), bs, s, loss
+
+    @jax.jit
+    def infer(p, bs, bi):
+        with jax.default_matmul_precision("default"):
+            return jax.vmap(
+                lambda im: model.apply({"params": p, "batch_stats": bs}, im, train=False)
+            )(bi)
+
+    def val_ssi(p, bs):
+        errs = []
+        for k in range(0, len(val[0]), batch):
+            pred = np.asarray(infer(p, bs, jnp.asarray(val[0][k:k+batch], jnp.float32)))
+            for j in range(len(pred)):
+                t = val[1][k + j].ravel()
+                pr = np.nan_to_num(pred[j].ravel(), posinf=1e6, neginf=-1e6)
+                # closed-form scale/shift alignment (regularized normal equations)
+                var = pr.var() + 1e-8
+                s = ((pr - pr.mean()) * (t - t.mean())).mean() / var
+                b = t.mean() - s * pr.mean()
+                errs.append(float(np.mean((s * pr + b - t) ** 2)))
+        return float(np.mean(errs))
+
+    nrng = np.random.default_rng(seed + 1)
+    best = np.inf
+    t0 = time.time()
+    for it in range(steps):
+        idx = nrng.integers(0, len(imgs), batch)
+        bi = jnp.asarray(imgs[idx], jnp.float32)
+        bd = jnp.asarray(deps[idx], jnp.float32)
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, bi, bd)
+        if (it + 1) % 100 == 0:
+            log(f"[depthtrain] step {it+1}/{steps} loss {float(loss):.5f} "
+                f"({(it+1)/(time.time()-t0):.1f} it/s)")
+        if (it + 1) % eval_every == 0 or it + 1 == steps:
+            cur = val_ssi(params, batch_stats)
+            log(f"[depthtrain] step {it+1}: val SSI-MSE {cur:.5f}")
+            if cur < best:
+                best = cur
+                out = Path(out_path)
+                out.parent.mkdir(parents=True, exist_ok=True)
+                out.write_bytes(msgpack_serialize({
+                    "params": jax.device_get(params),
+                    "batch_stats": jax.device_get(batch_stats),
+                }))
+                Path(str(out) + ".json").write_text(json.dumps({"val_ssi_mse": cur}))
+                log(f"[depthtrain] saved {out_path}")
+    return best
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scenes", type=int, default=150)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dataset_cache", default=None)
+    ap.add_argument("--workers", type=int, default=4)
+    args = ap.parse_args(argv)
+    best = train(args.out, args.scenes, args.steps, args.batch, args.lr,
+                 args.seed, args.dataset_cache, args.workers)
+    print(f"best val SSI-MSE: {best:.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -66,7 +66,7 @@ def train(
             save_dataset(dataset_cache, i1, i2, fl)
         log(f"[flowtrain] rendered {len(i1)} pairs in {time.time() - t0:.0f}s")
     # held-out split for EPE tracking
-    n_val = max(8, len(i1) // 20)
+    n_val = min(max(8, len(i1) // 20), len(i1) // 2)
     val = (i1[:n_val], i2[:n_val], fl[:n_val].astype(np.float32))
     i1, i2, fl = i1[n_val:], i2[n_val:], fl[n_val:]
 
@@ -93,8 +93,20 @@ def train(
         preds = jnp.moveaxis(preds, 1, 0)   # [iters, B, H, W, 2]
         return sequence_loss(preds, bf)
 
+    # the whole dataset lives on device (u8/f16, ~1.5 GB << HBM); batches are
+    # gathered on device from host-chosen indices, so each step transfers 4
+    # ints instead of ~10 MB of images through the (slow) tunnel. The arrays
+    # are passed as arguments, NOT closed over — jit would constant-fold a
+    # closed-over dataset into the program (OOM).
+    di1 = jax.device_put(i1)
+    di2 = jax.device_put(i2)
+    dfl = jax.device_put(fl)
+
     @jax.jit
-    def step(p, s, b1, b2, bf):
+    def step(p, s, d1, d2, df, idx):
+        b1 = d1[idx].astype(jnp.float32)
+        b2 = d2[idx].astype(jnp.float32)
+        bf = df[idx].astype(jnp.float32)
         loss, g = jax.value_and_grad(loss_fn)(p, b1, b2, bf)
         updates, s = tx.update(g, s, p)
         return optax.apply_updates(p, updates), s, loss
@@ -111,11 +123,8 @@ def train(
     t0 = time.time()
     losses = []
     for it in range(steps):
-        idx = nrng.integers(0, len(i1), batch)
-        b1 = jnp.asarray(i1[idx], jnp.float32)
-        b2 = jnp.asarray(i2[idx], jnp.float32)
-        bf = jnp.asarray(fl[idx], jnp.float32)
-        params, opt_state, loss = step(params, opt_state, b1, b2, bf)
+        idx = jnp.asarray(nrng.integers(0, len(i1), batch), jnp.int32)
+        params, opt_state, loss = step(params, opt_state, di1, di2, dfl, idx)
         losses.append(float(loss))
         if (it + 1) % 100 == 0:
             log(f"[flowtrain] step {it+1}/{steps} loss {np.mean(losses[-100:]):.3f} "

@@ -36,6 +36,120 @@ class TwoViewResult(NamedTuple):
     tri_angle: jnp.ndarray    # [P] median triangulation angle of inliers (rad)
 
 
+# configuration codes, numerically matching the reference's ConfigurationType
+# (two_view_geometry.h:48-67)
+CONFIG_DEGENERATE = 1
+CONFIG_CALIBRATED = 2
+CONFIG_PLANAR = 4
+CONFIG_PANORAMIC = 5
+CONFIG_WATERMARK = 7
+
+
+class TwoViewClassification(NamedTuple):
+    config: jnp.ndarray        # [P] int32 CONFIG_* code
+    H: jnp.ndarray             # [P, 3, 3] homography (normalized coords)
+    h_inliers: jnp.ndarray     # [P, M] bool
+    num_h_inliers: jnp.ndarray # [P] int32
+    q_h: jnp.ndarray           # [P, 4] rotation recovered from H
+    t_h: jnp.ndarray           # [P, 3] unit translation from H (0 when panoramic)
+    plane_n: jnp.ndarray       # [P, 3] plane normal in camera 1
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def classify_two_view(
+    key: jax.Array,
+    x1: jnp.ndarray,          # [P, M, 2] normalized camera coords
+    x2: jnp.ndarray,
+    mask: jnp.ndarray,        # [P, M]
+    thres_sq: jnp.ndarray,    # [P] squared threshold (normalized coords)
+    e_inliers: jnp.ndarray,   # [P, M] essential-RANSAC inlier masks
+    uv1: jnp.ndarray,         # [P, M, 2] pixel coords (for watermark border test)
+    uv2: jnp.ndarray,
+    image_hw: tuple,
+    min_num_inliers: int = 15,
+    max_H_inlier_ratio: float = 0.8,
+    watermark_min_inlier_ratio: float = 0.7,
+    watermark_border_frac: float = 0.1,
+    panoramic_max_t_mag: float = 2e-2,
+    num_hypotheses: int = 32,
+) -> TwoViewClassification:
+    """Classify each pair CALIBRATED / PLANAR / PANORAMIC / WATERMARK / DEGENERATE.
+
+    Follows the reference's decision cascade (two_view_geometry.cc:285-375):
+    if the homography explains > max_H_inlier_ratio of the essential model's
+    support, the pair is PLANAR_OR_PANORAMIC; the split between the two uses
+    the baseline magnitude of the Faugeras decomposition ((d1-d3)/d2 ~ 0 for
+    pure rotation — the tvec-norm test of two_view_geometry.cc:236-243).
+    Watermark = dominant pure image-space translation whose inliers sit in the
+    border region (DetectWatermark). All pairs evaluate in lockstep on device.
+    """
+    from ..geometry.homography import (
+        decompose_homography, homography_ransac)
+    from ..geometry import rotations as _rot
+
+    num_e = jnp.sum(e_inliers.astype(jnp.int32), axis=-1)
+    H, h_inl, num_h = homography_ransac(
+        key, x1, x2, mask, thres_sq, num_hypotheses=num_hypotheses
+    )
+    R_h, t_h, n_h, t_mag = decompose_homography(H, x1, x2, mask.astype(x1.dtype))
+    q_h = _rot.rotmat_to_quat(R_h)
+
+    h_ratio = num_h.astype(jnp.float32) / jnp.maximum(num_e, 1).astype(jnp.float32)
+    # tightness criterion (beyond the reference's ratio test): small-baseline
+    # video pairs are H-explainable at the loose RANSAC threshold even on
+    # non-planar scenes (residual parallax ~ a few px) — reposing those from H
+    # would LOSE accuracy. A truly planar/panoramic pair fits H down to the
+    # noise floor, so require most loose H-inliers to also hold at thres/16.
+    from ..geometry.homography import symmetric_transfer_error
+
+    err_h = symmetric_transfer_error(H, x1, x2)
+    num_h_tight = jnp.sum(
+        ((err_h < thres_sq[:, None] / 16.0) & mask).astype(jnp.int32), -1
+    )
+    tight = num_h_tight.astype(jnp.float32) > 0.5 * jnp.maximum(
+        num_h, 1
+    ).astype(jnp.float32)
+    planar_or_pano = (
+        (h_ratio > max_H_inlier_ratio) & (num_h >= min_num_inliers) & tight
+    )
+    panoramic = planar_or_pano & (t_mag < panoramic_max_t_mag)
+
+    # watermark: dominant pure 2D translation among the epipolar inliers, with
+    # the conforming inliers inside the border region of both images
+    d = uv2 - uv1                                          # [P, M, 2]
+    w = e_inliers.astype(x1.dtype)
+    t_med = jnp.sum(d * w[..., None], axis=1) / jnp.maximum(
+        jnp.sum(w, axis=1, keepdims=True), 1.0
+    )                                                      # [P, 2] mean shift
+    shift_ok = jnp.sum((d - t_med[:, None]) ** 2, axis=-1) < 4.0  # 2 px conformity
+    Himg, Wimg = image_hw
+    diag = (Himg**2 + Wimg**2) ** 0.5
+    border = watermark_border_frac * diag
+
+    def in_border(uv):
+        return (
+            (uv[..., 0] < border)
+            | (uv[..., 0] > Wimg - border)
+            | (uv[..., 1] < border)
+            | (uv[..., 1] > Himg - border)
+        )
+
+    wm_pts = shift_ok & in_border(uv1) & in_border(uv2) & e_inliers
+    wm_ratio = jnp.sum(wm_pts.astype(jnp.int32), -1).astype(jnp.float32) / jnp.maximum(
+        num_e, 1
+    ).astype(jnp.float32)
+    watermark = wm_ratio > watermark_min_inlier_ratio
+
+    degenerate = (jnp.maximum(num_e, num_h) < min_num_inliers)
+    config = jnp.full(num_e.shape, CONFIG_CALIBRATED, jnp.int32)
+    config = jnp.where(planar_or_pano, CONFIG_PLANAR, config)
+    config = jnp.where(panoramic, CONFIG_PANORAMIC, config)
+    config = jnp.where(watermark, CONFIG_WATERMARK, config)
+    config = jnp.where(degenerate, CONFIG_DEGENERATE, config)
+    t_h = jnp.where((config == CONFIG_PANORAMIC)[:, None], 0.0, t_h)
+    return TwoViewClassification(config, H, h_inl, num_h, q_h, t_h, n_h)
+
+
 def _sample_indices(key, mask, num_hypotheses: int, sample_size: int = 8):
     """Random indices of valid entries: [S, 8] per pair. mask: [M]."""
     M = mask.shape[0]

@@ -194,6 +194,46 @@ def _run_global_mapper_once(
     if verified.sum() < 3:
         return _failed(num_images, params, height, width)
 
+    # ---- degenerate-configuration classification (two_view_geometry.h:48-67):
+    # planar pairs get their pose from the homography decomposition (the
+    # essential solve is rank-deficient on planes), panoramic (pure-rotation)
+    # pairs keep only their rotation, watermark pairs are dropped entirely.
+    q_all = np.asarray(tv.q_rel)
+    t_all = np.asarray(tv.t_rel)
+    has_baseline = np.ones(len(pair_t.pairs), bool)
+    if cfg.classify_degenerate:
+        from ..globalsfm.twoview import (
+            CONFIG_PANORAMIC, CONFIG_PLANAR, CONFIG_WATERMARK, classify_two_view)
+
+        cls = classify_two_view(
+            jax.random.PRNGKey(cfg.seed + 1),
+            jnp.asarray(norm(pair_t.uv1)), jnp.asarray(norm(pair_t.uv2)),
+            jnp.asarray(pair_t.mask), jnp.asarray(thres_sq),
+            tv.inliers, jnp.asarray(pair_t.uv1), jnp.asarray(pair_t.uv2),
+            (height, width),
+            min_num_inliers=cfg.geometric_verification_min_num_inliers,
+            max_H_inlier_ratio=cfg.max_H_inlier_ratio,
+            watermark_min_inlier_ratio=cfg.watermark_min_inlier_ratio,
+            panoramic_max_t_mag=cfg.panoramic_max_t_mag,
+        )
+        cfgs = np.asarray(cls.config)
+        planar = cfgs == CONFIG_PLANAR
+        pano = cfgs == CONFIG_PANORAMIC
+        wmark = cfgs == CONFIG_WATERMARK
+        if planar.any() or pano.any() or wmark.any():
+            log(f"[mapper] two-view configs: {int(planar.sum())} planar, "
+                f"{int(pano.sum())} panoramic, {int(wmark.sum())} watermark")
+        q_h = np.asarray(cls.q_h)
+        t_h = np.asarray(cls.t_h)
+        repose = planar | pano
+        q_all = np.where(repose[:, None], q_h, q_all)
+        t_all = np.where(planar[:, None], t_h, t_all)
+        has_baseline = ~pano
+        verified = verified & ~wmark
+        if verified.sum() < 3:
+            log("[mapper] all pairs degenerate after classification")
+            return _failed(num_images, params, height, width)
+
     if cfg.geometric_dynamic_filter:
         from .correspondences import geometric_dynamic_track_filter
 
@@ -208,8 +248,9 @@ def _run_global_mapper_once(
 
     pairs = pair_t.pairs[verified]
     counts = num_inl[verified]
-    R_rel = np.array(rot.quat_to_rotmat(tv.q_rel))[verified]
-    t_rel = np.array(tv.t_rel)[verified]
+    R_rel = np.array(rot.quat_to_rotmat(jnp.asarray(q_all)))[verified]
+    t_rel = t_all[verified]
+    has_b = has_baseline[verified]
     inl_mask = np.array(tv.inliers)[verified]
     uv1 = pair_t.uv1[verified]
     uv2 = pair_t.uv2[verified]
@@ -221,7 +262,7 @@ def _run_global_mapper_once(
     full2sub[sub] = np.arange(len(sub))
     pkeep = in_lcc[pairs[:, 0]] & in_lcc[pairs[:, 1]]
     pairs, counts, R_rel, t_rel = pairs[pkeep], counts[pkeep], R_rel[pkeep], t_rel[pkeep]
-    inl_mask, uv1, uv2 = inl_mask[pkeep], uv1[pkeep], uv2[pkeep]
+    inl_mask, uv1, uv2, has_b = inl_mask[pkeep], uv1[pkeep], uv2[pkeep], has_b[pkeep]
     spairs = full2sub[pairs].astype(np.int32)
     V = len(sub)
     log(f"[mapper] largest component: {V}/{num_images} images, {len(pairs)} pairs")
@@ -245,7 +286,7 @@ def _run_global_mapper_once(
     )
     log(f"[mapper] orientation filter kept {ok.sum()}/{len(ok)} pairs")
     spairs, counts, R_rel, t_rel = spairs[ok], counts[ok], R_rel[ok], t_rel[ok]
-    inl_mask, uv1, uv2 = inl_mask[ok], uv1[ok], uv2[ok]
+    inl_mask, uv1, uv2, has_b = inl_mask[ok], uv1[ok], uv2[ok], has_b[ok]
 
     in_lcc2 = largest_connected_component(V, spairs)
     if not in_lcc2.all():
@@ -255,7 +296,7 @@ def _run_global_mapper_once(
         pkeep = in_lcc2[spairs[:, 0]] & in_lcc2[spairs[:, 1]]
         spairs = remap[spairs[pkeep]].astype(np.int32)
         counts, R_rel, t_rel = counts[pkeep], R_rel[pkeep], t_rel[pkeep]
-        inl_mask, uv1, uv2 = inl_mask[pkeep], uv1[pkeep], uv2[pkeep]
+        inl_mask, uv1, uv2, has_b = inl_mask[pkeep], uv1[pkeep], uv2[pkeep], has_b[pkeep]
         R_abs = jnp.asarray(np.asarray(R_abs)[sub2])
         sub = sub[sub2]
         full2sub = np.full(num_images, -1, np.int64)
@@ -327,28 +368,41 @@ def _run_global_mapper_once(
         log("[mapper] glomap positioning rejected; falling back to LUD path")
 
     # ---- pairwise translation refinement ---------------------------------
-    match_mask = inl_mask & (np.arange(inl_mask.shape[1])[None, :] >= 0)
+    # panoramic (pure-rotation) pairs carry no baseline: they contributed to
+    # rotation averaging above but must not enter the translation stack
+    if not has_b.all():
+        nb = int((~has_b).sum())
+        if has_b.sum() < 3 or not largest_connected_component(
+            V, spairs[has_b]
+        ).all():
+            log(f"[mapper] translation graph disconnected without {nb} "
+                "pure-rotation pairs; reconstruction failed")
+            return _failed(num_images, params, height, width)
+        log(f"[mapper] excluding {nb} pure-rotation pairs from translation stages")
+    spairs_t = spairs[has_b]
+    inl_t = inl_mask[has_b]
+    match_mask = inl_t & (np.arange(inl_t.shape[1])[None, :] >= 0)
     w0 = directions_from_relative_poses(
-        jnp.asarray(spairs), R_abs, jnp.asarray(t_rel, jnp.float32)
+        jnp.asarray(spairs_t), R_abs, jnp.asarray(t_rel[has_b], jnp.float32)
     )
     w_dir = refine_pairwise_translations(
-        jnp.asarray(spairs),
+        jnp.asarray(spairs_t),
         R_abs,
-        jnp.asarray(norm(uv1)),
-        jnp.asarray(norm(uv2)),
+        jnp.asarray(norm(uv1[has_b])),
+        jnp.asarray(norm(uv2[has_b])),
         jnp.asarray(match_mask),
         w0,
     )
 
     # ---- 1DSfM MFAS filter ------------------------------------------------
-    mkeep = mfas_position_filter(V, spairs, np.asarray(w_dir), seed=cfg.seed)
+    mkeep = mfas_position_filter(V, spairs_t, np.asarray(w_dir), seed=cfg.seed)
     log(f"[mapper] MFAS filter kept {mkeep.sum()}/{len(mkeep)} pairs")
-    if mkeep.sum() >= 3 and largest_connected_component(V, spairs[mkeep]).all():
-        spairs_m = spairs[mkeep]
+    if mkeep.sum() >= 3 and largest_connected_component(V, spairs_t[mkeep]).all():
+        spairs_m = spairs_t[mkeep]
         w_m = w_dir[jnp.asarray(mkeep)]
     else:  # filter would disconnect the graph; keep everything
-        mkeep = np.ones(len(spairs), bool)
-        spairs_m, w_m = spairs, w_dir
+        mkeep = np.ones(len(spairs_t), bool)
+        spairs_m, w_m = spairs_t, w_dir
 
     # ---- triplet scale constraints (similarity averaging) -----------------
     trip_constraints = None

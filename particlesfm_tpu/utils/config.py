@@ -137,6 +137,13 @@ class SfmConfig:
     geometric_dynamic_filter: bool = True
     geometric_dynamic_max_inlier_rate: float = 0.3
     geometric_dynamic_min_samples: int = 4
+    # two-view degenerate-configuration classification (two_view_geometry.h:48-67):
+    # watermark pairs dropped, planar pairs repose from H, panoramic pairs
+    # contribute rotation only
+    classify_degenerate: bool = True
+    max_H_inlier_ratio: float = 0.8
+    watermark_min_inlier_ratio: float = 0.7
+    panoramic_max_t_mag: float = 2e-2
     filter_max_orientation_error_deg: float = 10.0
     rotation: RotationAveragingConfig = field(default_factory=RotationAveragingConfig)
     position: PositionAveragingConfig = field(default_factory=PositionAveragingConfig)
