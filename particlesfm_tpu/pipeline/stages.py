@@ -214,11 +214,33 @@ def sfm_stage(
     # parity, default), incremental (colmap-mapper parity), glomap (direct
     # global positioning over bearings — handled inside run_global_mapper)
     if cfg.sfm.sfm_type == "incremental":
+        # reference parity: colmap mapper runs with multiple_models=0
         from ..sfm.incremental import run_incremental_mapper as _run
+
+        rec = _run(tracks, height, width, cfg.sfm, log=log)
+        write_colmap_model(rec, model_dir, image_names)
+    elif cfg.sfm.multiple_models:
+        from ..sfm.manager import run_reconstruction_manager, write_models
+
+        models = run_reconstruction_manager(
+            tracks, height, width, cfg.sfm, max_models=cfg.sfm.max_models, log=log
+        )
+        rec = write_models(models, model_dir, image_names, log=log)
+        if rec is None:
+            from ..sfm.mapper import _failed
+            from ..geometry import cameras as _cams
+
+            rec = _failed(
+                tracks.num_frames,
+                np.asarray(_cams.make_default_params(height, width), np.float32),
+                height, width,
+            )
+            write_colmap_model(rec, model_dir, image_names)
     else:
         from ..sfm.mapper import run_global_mapper as _run
-    rec = _run(tracks, height, width, cfg.sfm, log=log)
-    write_colmap_model(rec, model_dir, image_names)
+
+        rec = _run(tracks, height, width, cfg.sfm, log=log)
+        write_colmap_model(rec, model_dir, image_names)
     write_converted_outputs(rec, Path(out_dir) / "colmap_outputs_converted", image_names)
     stats = compute_model_stats(rec)
     log(format_model_stats(stats))

@@ -1,0 +1,83 @@
+"""Multi-model reconstruction manager (numbered-subdir output + largest pick).
+
+Counterpart of the reference's ReconstructionManager
+(/root/reference/sfm/gmapper/src/base/reconstruction_manager.h:41-78 — models
+written to sub-folders "0", "1", ... ) and the largest-model selection in
+compute_model_stats (/root/reference/sfm/main_sfm.py:52-93: pick by image
+count, copy its bins up next to the numbered dirs).
+
+A disconnected sequence (cut, tracking dropout) yields several covisibility
+components; the reference's global mapper reconstructs the largest and the
+manager keeps every recovered model. Here: run the mapper, mask out the frames
+it registered, and re-run on the remainder until nothing reconstructs.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ..tracks.store import TrackArrays
+from ..utils.config import SfmConfig
+from .mapper import Reconstruction, run_global_mapper
+
+
+def run_reconstruction_manager(
+    tracks: TrackArrays,
+    height: int,
+    width: int,
+    cfg: Optional[SfmConfig] = None,
+    max_models: int = 4,
+    log=print,
+) -> List[Reconstruction]:
+    """Recover every reconstructable component, largest-first order not
+    guaranteed (use `largest_model` to select)."""
+    cfg = cfg or SfmConfig()
+    models: List[Reconstruction] = []
+    mask = tracks.mask.copy()
+    for k in range(max_models):
+        sub = TrackArrays(xy=tracks.xy, mask=mask)
+        # enough frames with enough observations left?
+        frames_alive = (mask.sum(axis=0) >= cfg.min_num_matches).sum()
+        if frames_alive < 3:
+            break
+        rec = run_global_mapper(sub, height, width, cfg, log=log)
+        if rec.num_registered < 3:
+            break
+        models.append(rec)
+        log(f"[manager] model {k}: {rec.num_registered} images, "
+            f"{int(rec.track_valid.sum())} points")
+        # mask out observations in the registered frames and continue on the rest
+        mask = mask & ~rec.registered[None, :]
+    if not models:
+        log("[manager] no reconstructable component")
+    return models
+
+
+def largest_model(models: List[Reconstruction]) -> Optional[Reconstruction]:
+    """Reference selection rule: most registered images (main_sfm.py:58-66)."""
+    if not models:
+        return None
+    return max(models, key=lambda m: m.num_registered)
+
+
+def write_models(
+    models: List[Reconstruction],
+    model_dir,
+    image_names=None,
+    log=print,
+) -> Optional[Reconstruction]:
+    """Write numbered subdirs 0/, 1/, ... plus the largest model's bins at the
+    top level (the reference's on-disk layout after compute_model_stats)."""
+    from .export import write_colmap_model
+
+    model_dir = Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    for k, rec in enumerate(models):
+        write_colmap_model(rec, model_dir / str(k), image_names)
+    best = largest_model(models)
+    if best is not None:
+        write_colmap_model(best, model_dir, image_names)
+        log(f"[manager] largest model: {best.num_registered} images")
+    return best

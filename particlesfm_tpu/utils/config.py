@@ -124,6 +124,11 @@ class BundleAdjustmentConfig:
 @dataclass
 class SfmConfig:
     sfm_type: str = "global"             # global | incremental | glomap-mode
+    # recover every covisibility component into numbered model subdirs and pick
+    # the largest (reconstruction_manager.h:41-78 + main_sfm.py:52-93); the
+    # reference's incremental mode runs with multiple_models=0 (main_sfm.py:95-125)
+    multiple_models: bool = True
+    max_models: int = 4
     min_num_matches: int = 15
     sample_k: int = 20                   # matches per track (matches_from_flow.py:53)
     remove_dynamic: bool = True
