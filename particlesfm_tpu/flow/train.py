@@ -33,6 +33,30 @@ def epe(flow_pred, flow_gt):
     return float(np.mean(np.linalg.norm(np.asarray(flow_pred) - flow_gt, axis=-1)))
 
 
+def save_resume_state(path, params, opt_state, step: int, best_epe: float):
+    """Full trainer state for chunked runs (the TPU tunnel is only reliable in
+    foreground sessions, so long trainings run as resume chunks)."""
+    import jax
+    from flax.serialization import msgpack_serialize, to_state_dict
+
+    blob = {
+        "params": jax.device_get(params),
+        "opt_state": to_state_dict(jax.device_get(opt_state)),
+        "step": step,
+        "best_epe": float(best_epe),
+    }
+    Path(path).write_bytes(msgpack_serialize(blob))
+
+
+def load_resume_state(path, params_tpl, opt_state_tpl):
+    from flax.serialization import from_state_dict, msgpack_restore
+
+    blob = msgpack_restore(Path(path).read_bytes())
+    params = from_state_dict(params_tpl, blob["params"])
+    opt_state = from_state_dict(opt_state_tpl, blob["opt_state"])
+    return params, opt_state, int(blob["step"]), float(blob["best_epe"])
+
+
 def train(
     out_path,
     num_scenes: int = 120,
@@ -44,16 +68,22 @@ def train(
     dataset_cache: str | None = None,
     workers: int = 4,
     eval_every: int = 500,
+    resume: str | None = None,
+    max_seconds: float = 0.0,
+    save_every: int = 200,
     log=print,
 ):
     import jax
     import jax.numpy as jnp
     import optax
-    from flax.serialization import msgpack_restore
 
     from ..models.raft import compact_raft
     from .data import FlowPairSpec, generate_dataset, load_dataset, save_dataset
     from .infer import save_flow_checkpoint
+
+    # chunked runs recompile identical programs; cache them across processes
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     t0 = time.time()
     if dataset_cache and Path(dataset_cache).exists():
@@ -78,7 +108,11 @@ def train(
     n_params = sum(p.size for p in jax.tree.leaves(params))
     log(f"[flowtrain] compact RAFT: {n_params/1e6:.2f}M params")
 
-    sched = optax.linear_onecycle_schedule(steps, lr, pct_start=0.1)
+    # onecycle with <~50 steps produces zero-length segments -> NaN LR
+    if steps >= 50:
+        sched = optax.linear_onecycle_schedule(steps, lr, pct_start=0.1)
+    else:
+        sched = lr
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(sched, weight_decay=1e-5),
@@ -118,17 +152,27 @@ def train(
                 lambda x, y: model.apply({"params": p}, x, y, iters=iters)
             )(a, b)
 
-    nrng = np.random.default_rng(seed + 1)
     best_epe = np.inf
+    start_step = 0
+    if resume and Path(resume).exists():
+        params, opt_state, start_step, best_epe = load_resume_state(
+            resume, params, opt_state)
+        log(f"[flowtrain] resumed from {resume} @ step {start_step} "
+            f"(best EPE {best_epe:.3f})")
+    # per-step rng keyed on the step index: identical stream across resumes
     t0 = time.time()
     losses = []
-    for it in range(steps):
-        idx = jnp.asarray(nrng.integers(0, len(i1), batch), jnp.int32)
+    it = start_step
+    for it in range(start_step, steps):
+        idx = jnp.asarray(
+            np.random.default_rng(seed * 1000003 + it).integers(0, len(i1), batch),
+            jnp.int32)
         params, opt_state, loss = step(params, opt_state, di1, di2, dfl, idx)
         losses.append(float(loss))
+        done = it + 1 - start_step
         if (it + 1) % 100 == 0:
             log(f"[flowtrain] step {it+1}/{steps} loss {np.mean(losses[-100:]):.3f} "
-                f"({(it+1)/(time.time()-t0):.1f} it/s)")
+                f"({done/(time.time()-t0):.2f} it/s)")
         if (it + 1) % eval_every == 0 or it + 1 == steps:
             errs = []
             for k in range(0, len(val[0]), batch):
@@ -142,6 +186,12 @@ def train(
                 save_flow_checkpoint(out_path, params, "compact",
                                      {"iters": iters, "val_epe": cur})
                 log(f"[flowtrain] saved {out_path} (EPE {cur:.3f})")
+        hit_wall = max_seconds > 0 and time.time() - t0 > max_seconds
+        if resume and ((it + 1) % save_every == 0 or hit_wall or it + 1 == steps):
+            save_resume_state(resume, params, opt_state, it + 1, best_epe)
+        if hit_wall:
+            log(f"[flowtrain] wall budget hit at step {it+1}; resume state saved")
+            break
     return best_epe
 
 
@@ -156,9 +206,16 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataset_cache", default=None)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--resume", default=None,
+                    help="resume-state file; created/updated for chunked runs")
+    ap.add_argument("--max_seconds", type=float, default=0.0,
+                    help="stop (saving resume state) after this wall budget")
+    ap.add_argument("--eval_every", type=int, default=500)
     args = ap.parse_args(argv)
     best = train(args.out, args.scenes, args.steps, args.batch, args.iters,
-                 args.lr, args.seed, args.dataset_cache, args.workers)
+                 args.lr, args.seed, args.dataset_cache, args.workers,
+                 eval_every=args.eval_every, resume=args.resume,
+                 max_seconds=args.max_seconds)
     print(f"best val EPE: {best:.3f} px")
     return 0
 
