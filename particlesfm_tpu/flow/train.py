@@ -100,7 +100,7 @@ def train(
     val = (i1[:n_val], i2[:n_val], fl[:n_val].astype(np.float32))
     i1, i2, fl = i1[n_val:], i2[n_val:], fl[n_val:]
 
-    model = compact_raft()
+    model = compact_raft(remat=True)
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng, jnp.zeros((64, 64, 3)), jnp.zeros((64, 64, 3)), iters=1)[
         "params"
@@ -136,14 +136,23 @@ def train(
     di2 = jax.device_put(i2)
     dfl = jax.device_put(fl)
 
+    # K optimizer steps per device dispatch: the tunneled chip pays a large
+    # host<->device roundtrip per call, so the Python-loop-per-step pattern is
+    # latency-bound; a lax.scan over index blocks amortizes it K-fold.
+    K = 50
+
     @jax.jit
-    def step(p, s, d1, d2, df, idx):
-        b1 = d1[idx].astype(jnp.float32)
-        b2 = d2[idx].astype(jnp.float32)
-        bf = df[idx].astype(jnp.float32)
-        loss, g = jax.value_and_grad(loss_fn)(p, b1, b2, bf)
-        updates, s = tx.update(g, s, p)
-        return optax.apply_updates(p, updates), s, loss
+    def step(p, s, d1, d2, df, idxs):  # idxs [K, batch]
+        def body(carry, idx):
+            p, s = carry
+            b1 = d1[idx].astype(jnp.float32)
+            b2 = d2[idx].astype(jnp.float32)
+            bf = df[idx].astype(jnp.float32)
+            loss, g = jax.value_and_grad(loss_fn)(p, b1, b2, bf)
+            updates, s = tx.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+        (p, s), losses = jax.lax.scan(body, (p, s), idxs)
+        return p, s, losses
 
     @jax.jit
     def infer(p, a, b):
@@ -159,38 +168,44 @@ def train(
             resume, params, opt_state)
         log(f"[flowtrain] resumed from {resume} @ step {start_step} "
             f"(best EPE {best_epe:.3f})")
+    def run_eval(it):
+        nonlocal best_epe
+        errs = []
+        for k in range(0, len(val[0]), batch):
+            pred = infer(params, jnp.asarray(val[0][k:k+batch], jnp.float32),
+                         jnp.asarray(val[1][k:k+batch], jnp.float32))
+            errs.append(epe(pred, val[2][k:k+batch]))
+        cur = float(np.mean(errs))
+        log(f"[flowtrain] step {it}: val EPE {cur:.3f} px")
+        if cur < best_epe:
+            best_epe = cur
+            save_flow_checkpoint(out_path, params, "compact",
+                                 {"iters": iters, "val_epe": cur})
+            log(f"[flowtrain] saved {out_path} (EPE {cur:.3f})")
+
     # per-step rng keyed on the step index: identical stream across resumes
     t0 = time.time()
-    losses = []
     it = start_step
-    for it in range(start_step, steps):
-        idx = jnp.asarray(
-            np.random.default_rng(seed * 1000003 + it).integers(0, len(i1), batch),
-            jnp.int32)
-        params, opt_state, loss = step(params, opt_state, di1, di2, dfl, idx)
-        losses.append(float(loss))
-        done = it + 1 - start_step
-        if (it + 1) % 100 == 0:
-            log(f"[flowtrain] step {it+1}/{steps} loss {np.mean(losses[-100:]):.3f} "
-                f"({done/(time.time()-t0):.2f} it/s)")
-        if (it + 1) % eval_every == 0 or it + 1 == steps:
-            errs = []
-            for k in range(0, len(val[0]), batch):
-                pred = infer(params, jnp.asarray(val[0][k:k+batch], jnp.float32),
-                             jnp.asarray(val[1][k:k+batch], jnp.float32))
-                errs.append(epe(pred, val[2][k:k+batch]))
-            cur = float(np.mean(errs))
-            log(f"[flowtrain] step {it+1}: val EPE {cur:.3f} px")
-            if cur < best_epe:
-                best_epe = cur
-                save_flow_checkpoint(out_path, params, "compact",
-                                     {"iters": iters, "val_epe": cur})
-                log(f"[flowtrain] saved {out_path} (EPE {cur:.3f})")
+    while it < steps:
+        k = min(K, steps - it)
+        idxs = np.stack([
+            np.random.default_rng(seed * 1000003 + it + j).integers(
+                0, len(i1), batch)
+            for j in range(k)]).astype(np.int32)
+        params, opt_state, losses = step(params, opt_state, di1, di2, dfl,
+                                         jnp.asarray(idxs))
+        losses = np.asarray(losses)
+        it += k
+        done = it - start_step
+        log(f"[flowtrain] step {it}/{steps} loss {losses.mean():.3f} "
+            f"({done/(time.time()-t0):.2f} it/s)")
+        if it % eval_every < k or it == steps:
+            run_eval(it)
         hit_wall = max_seconds > 0 and time.time() - t0 > max_seconds
-        if resume and ((it + 1) % save_every == 0 or hit_wall or it + 1 == steps):
-            save_resume_state(resume, params, opt_state, it + 1, best_epe)
-        if hit_wall:
-            log(f"[flowtrain] wall budget hit at step {it+1}; resume state saved")
+        if resume and (it % save_every < k or hit_wall or it == steps):
+            save_resume_state(resume, params, opt_state, it, best_epe)
+        if hit_wall and it < steps:
+            log(f"[flowtrain] wall budget hit at step {it}; resume state saved")
             break
     return best_epe
 

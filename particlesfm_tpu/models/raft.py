@@ -263,6 +263,8 @@ class RAFT(nn.Module):
     mask_hidden: int = 256
     cnet_norm: str = "batch"   # torch-checkpoint parity; "instance" when training
                                # from scratch (no batch_stats collection needed)
+    remat: bool = False        # rematerialize each GRU iteration in the backward
+                               # pass (training-time HBM fits the 16G v5e chip)
 
     @nn.compact
     def __call__(self, image1, image2, iters: int = 20, all_iters: bool = False):
@@ -284,8 +286,9 @@ class RAFT(nn.Module):
         )
         coords0 = jnp.stack([xs, ys], axis=-1)
 
+        body = nn.remat(_RAFTIteration) if self.remat else _RAFTIteration
         scan = nn.scan(
-            _RAFTIteration,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
@@ -304,7 +307,7 @@ class RAFT(nn.Module):
         return upsample_flow_convex(coords1 - coords0, masks[-1])
 
 
-def compact_raft(use_pallas: bool = False) -> RAFT:
+def compact_raft(use_pallas: bool = False, remat: bool = False) -> RAFT:
     """The small in-environment-trainable configuration (~1.1M params): same
     architecture family and correlation pyramid coverage as raft-things, half
     the encoder width, 64-d GRU."""
@@ -318,4 +321,5 @@ def compact_raft(use_pallas: bool = False) -> RAFT:
         mask_hidden=128,
         cnet_norm="instance",
         use_pallas=use_pallas,
+        remat=remat,
     )
