@@ -63,28 +63,59 @@ def average_rotations(
     l1_iters: int = 5,
     irls_iters: int = 30,
     sigma_deg: float = 5.0,
-) -> jnp.ndarray:
-    """Returns refined absolute rotations [V, 3, 3] (world->cam, view 0 pinned)."""
+):
+    """Returns (refined absolute rotations [V, 3, 3] (world->cam, view 0 pinned),
+    info dict with per-phase iteration counts and the final mean edge residual).
+
+    Both phases terminate on step-norm convergence (max_i ||delta_i|| below
+    tolerance) with the configured iteration counts as hard caps, mirroring
+    Theia's RobustRotationEstimator convergence checks instead of running a
+    fixed schedule (robust_rotation_estimator.cc:162-250).
+    """
     sigma = jnp.deg2rad(jnp.asarray(sigma_deg, R_init.dtype))
+    step_tol = jnp.asarray(1e-4, R_init.dtype)   # radians; ~0.006 deg
 
     def apply_step(R, delta):
         # right perturbation: R_i <- R_i Exp(delta_i) matches err ~ err0 + d_i - d_j
         return jnp.einsum("vij,vjk->vik", R, rot.angle_axis_to_rotmat(delta))
 
-    def l1_body(R, _):
-        err = _edge_residuals(R, R_rel, edges)
+    def phase(R, weight_fn, max_iters):
+        def body(carry):
+            R, it, _step = carry
+            err = _edge_residuals(R, R_rel, edges)
+            w = weight_fn(err)
+            delta = _solve_tangent_step(num_views, edges, w, err)
+            step = jnp.max(jnp.linalg.norm(delta, axis=-1))
+            return apply_step(R, delta), it + 1, step
+
+        def cond(carry):
+            it, step = carry[1], carry[2]
+            return (step > step_tol) & (it < max_iters)
+
+        R, it, step = jax.lax.while_loop(
+            cond, body, (R, jnp.zeros((), jnp.int32),
+                         jnp.asarray(jnp.inf, R_init.dtype)))
+        return R, it, step
+
+    def l1_weights(err):
         e = jnp.linalg.norm(err, axis=-1)
-        w = edge_mask / jnp.maximum(e, 1e-5)   # IRLS weight for L1
-        delta = _solve_tangent_step(num_views, edges, w, err)
-        return apply_step(R, delta), None
+        return edge_mask / jnp.maximum(e, 1e-5)   # IRLS weight for L1
 
-    def irls_body(R, _):
-        err = _edge_residuals(R, R_rel, edges)
+    def irls_weights(err):
         e2 = jnp.sum(err * err, axis=-1)
-        w = edge_mask * (sigma * sigma) / jnp.square(e2 + sigma * sigma)
-        delta = _solve_tangent_step(num_views, edges, w, err)
-        return apply_step(R, delta), None
+        return edge_mask * (sigma * sigma) / jnp.square(e2 + sigma * sigma)
 
-    R, _ = jax.lax.scan(l1_body, R_init, None, length=l1_iters)
-    R, _ = jax.lax.scan(irls_body, R, None, length=irls_iters)
-    return rot.project_to_rotmat(R)
+    R, it_l1, _ = phase(R_init, l1_weights, l1_iters)
+    R, it_irls, last_step = phase(R, irls_weights, irls_iters)
+    err = _edge_residuals(R, R_rel, edges)
+    e = jnp.linalg.norm(err, axis=-1)
+    mean_err = jnp.sum(e * edge_mask) / jnp.maximum(jnp.sum(edge_mask), 1.0)
+    # median over valid edges (padded rows pushed to +inf): robust to outlier
+    # edges that the averaging correctly down-weights but cannot zero out
+    e_valid = jnp.where(edge_mask > 0, e, jnp.inf)
+    k = jnp.maximum(jnp.sum(edge_mask > 0).astype(jnp.int32) // 2, 0)
+    med_err = jnp.sort(e_valid)[k]
+    info = {"l1_iters": it_l1, "irls_iters": it_irls,
+            "last_step_rad": last_step, "mean_residual_rad": mean_err,
+            "median_residual_rad": med_err}
+    return rot.project_to_rotmat(R), info

@@ -206,8 +206,18 @@ def estimate_positions_lud(
     kappa = 1.0 / rho
     h = jnp.ones((E,), w_dir.dtype)                 # constraint s >= 1
 
-    def body(carry, _):
-        z, y1p, y1t, y2, u1p, u1t, u2 = carry
+    # Convergence-terminated ADMM (Theia's ConstrainedL1Solver stops on
+    # primal/dual residual criteria, least_unsquared_deviation_position_
+    # estimator.cc:160-177): stop when both the primal residual ||Az - y||
+    # and the dual residual rho*||A^T (y - y_prev)|| drop below an
+    # absolute+relative tolerance, with `admm_iters` as the hard cap.
+    # Theia-scale tolerances (absolute_tolerance 1e-4, ConstrainedL1Solver);
+    # positions only seed registration — BA refines them — so sub-1e-4
+    # ADMM precision buys nothing downstream.
+    tol_abs, tol_rel = 1e-4, 1e-4
+
+    def body(carry):
+        z, y1p, y1t, y2, u1p, u1t, u2, it, _pr, _dr, _done = carry
         # z-update: min ||[A;G]z - [y+(b=0) - u]||^2
         rhs = At_apply(y1p - u1p, y1t - u1t) + pack(
             jnp.zeros((V, 3), w_dir.dtype), y2 - u2
@@ -217,19 +227,38 @@ def estimate_positions_lud(
         _, sv = unpack(z)
         # y1: soft-threshold (L1 prox); y2: projection onto s >= 1
         v1p, v1t = Ap + u1p, At_ + u1t
-        y1p = jnp.sign(v1p) * jnp.maximum(jnp.abs(v1p) - kappa, 0.0)
-        y1t = jnp.sign(v1t) * jnp.maximum(jnp.abs(v1t) - kappa, 0.0)
-        y2 = jnp.maximum(sv + u2, h)
-        u1p = u1p + Ap - y1p
-        u1t = u1t + At_ - y1t
-        u2 = u2 + sv - y2
-        return (z, y1p, y1t, y2, u1p, u1t, u2), None
+        y1p_n = jnp.sign(v1p) * jnp.maximum(jnp.abs(v1p) - kappa, 0.0)
+        y1t_n = jnp.sign(v1t) * jnp.maximum(jnp.abs(v1t) - kappa, 0.0)
+        y2_n = jnp.maximum(sv + u2, h)
+        u1p = u1p + Ap - y1p_n
+        u1t = u1t + At_ - y1t_n
+        u2 = u2 + sv - y2_n
+        # residual norms over the stacked splitting constraints
+        r_pri = jnp.sqrt(
+            jnp.sum((Ap - y1p_n) ** 2) + jnp.sum((At_ - y1t_n) ** 2)
+            + jnp.sum((sv - y2_n) ** 2))
+        dz = At_apply(y1p_n - y1p, y1t_n - y1t) + pack(
+            jnp.zeros((V, 3), w_dir.dtype), y2_n - y2)
+        r_dual = rho * jnp.sqrt(jnp.sum(dz * dz))
+        scale_ref = jnp.sqrt(
+            jnp.sum(Ap ** 2) + jnp.sum(At_ ** 2) + jnp.sum(sv ** 2))
+        tol = tol_abs * jnp.sqrt(float(3 * E + 3 * T)) + tol_rel * scale_ref
+        done = (r_pri < tol) & (r_dual < tol)
+        return (z, y1p_n, y1t_n, y2_n, u1p, u1t, u2, it + 1, r_pri, r_dual, done)
+
+    def cond(carry):
+        it, done = carry[7], carry[10]
+        return (~done) & (it < admm_iters)
 
     z0 = pack(jnp.zeros((V, 3), w_dir.dtype), jnp.ones((E,), w_dir.dtype))
     zeros_p = jnp.zeros((E, 3), w_dir.dtype)
     zeros_t = jnp.zeros((T, 3), w_dir.dtype)
     init = (z0, zeros_p, zeros_t, jnp.ones((E,), w_dir.dtype), zeros_p, zeros_t,
-            jnp.zeros((E,), w_dir.dtype))
-    (z, *_), _ = jax.lax.scan(body, init, None, length=admm_iters)
+            jnp.zeros((E,), w_dir.dtype), jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, w_dir.dtype), jnp.asarray(jnp.inf, w_dir.dtype),
+            jnp.zeros((), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    z, it, r_pri, r_dual = out[0], out[7], out[8], out[9]
     pv, sv = unpack(z)
-    return pv.at[0].set(0.0), sv
+    info = {"iters": it, "r_primal": r_pri, "r_dual": r_dual}
+    return pv.at[0].set(0.0), sv, info

@@ -271,7 +271,7 @@ def _run_global_mapper_once(
 
     # ---- rotation averaging ---------------------------------------------
     R_init = orientations_from_spanning_tree(V, spairs, counts, R_rel)
-    R_abs = average_rotations(
+    R_abs, rot_info = average_rotations(
         V,
         jnp.asarray(spairs),
         jnp.asarray(R_rel, jnp.float32),
@@ -281,6 +281,9 @@ def _run_global_mapper_once(
         irls_iters=cfg.rotation.max_num_irls_iterations,
         sigma_deg=cfg.rotation.irls_loss_parameter_sigma_deg,
     )
+    log(f"[mapper] rotation averaging: {int(rot_info['l1_iters'])} L1 + "
+        f"{int(rot_info['irls_iters'])} IRLS iters, mean residual "
+        f"{np.degrees(float(rot_info['mean_residual_rad'])):.3f} deg")
     ok = filter_pairs_by_orientation(
         spairs, R_rel, np.asarray(R_abs), cfg.filter_max_orientation_error_deg
     )
@@ -451,13 +454,16 @@ def _run_global_mapper_once(
         )
         log("[mapper] linear (spectral) position estimation done")
     else:
-        p_est, _ = estimate_positions_lud(
+        p_est, _, lud_info = estimate_positions_lud(
             V,
             jnp.asarray(spairs_m),
             w_m,
             jnp.ones(len(spairs_m), jnp.float32),
             triplets=trip_constraints,
         )
+        log(f"[mapper] LUD ADMM: {int(lud_info['iters'])} iters, "
+            f"primal {float(lud_info['r_primal']):.2e} "
+            f"dual {float(lud_info['r_dual']):.2e}")
     if cfg.position.method == "nonlinear":
         # 1DSfM chordal refinement on top of the LUD solution (the reference's
         # optional position method; deterministic init instead of random)

@@ -142,13 +142,14 @@ class TestRotationAveraging:
         # init: identity everywhere except view 0 pinned at gt for gauge comparison
         R_init = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
         R_init[0] = R_abs[0]
-        R_est = average_rotations(
+        R_est, rinfo = average_rotations(
             V,
             jnp.asarray(pairs),
             jnp.asarray(R_rel),
             jnp.asarray(R_init),
             jnp.ones(len(pairs), jnp.float32),
         )
+        assert float(rinfo["median_residual_rad"]) < np.radians(0.5)
         # compare in gauge-free way: relative rotations between all view pairs
         R_est = np.asarray(R_est)
         errs = []
@@ -197,9 +198,12 @@ class TestTranslation:
         centers = sc["centers"]
         w = centers[pairs[:, 0]] - centers[pairs[:, 1]]
         w = (w / np.linalg.norm(w, axis=1, keepdims=True)).astype(np.float32)
-        p, s = estimate_positions_lud(
+        p, s, info = estimate_positions_lud(
             8, jnp.asarray(pairs), jnp.asarray(w), jnp.ones(len(pairs), jnp.float32)
         )
+        # convergence telemetry: terminated before the cap with small residuals
+        assert int(info["iters"]) < 2000
+        assert float(info["r_primal"]) < 1e-2
         p = np.asarray(p)
         # align: positions recovered up to similarity (scale + translation; rotation
         # is fixed because directions are in world frame)
