@@ -66,6 +66,9 @@ def train(
     dataset_cache: str | None = None,
     workers: int = 4,
     eval_every: int = 500,
+    resume: str | None = None,
+    max_seconds: float = 0.0,
+    save_every: int = 500,
     log=print,
 ):
     import jax
@@ -74,6 +77,11 @@ def train(
     from flax.serialization import msgpack_serialize
 
     from ..models.depth import DepthNet, scale_shift_invariant_loss
+    from ..flow.train import load_resume_state, save_resume_state
+
+    # chunked runs recompile identical programs; cache them across processes
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     t0 = time.time()
     if dataset_cache and Path(dataset_cache).exists():
@@ -92,7 +100,9 @@ def train(
     model = DepthNet()
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((64, 64, 3)), train=True)
     params, batch_stats = variables["params"], variables["batch_stats"]
-    sched = optax.linear_onecycle_schedule(steps, lr, pct_start=0.1)
+    # onecycle with <~50 steps produces zero-length segments -> NaN LR
+    sched = (optax.linear_onecycle_schedule(steps, lr, pct_start=0.1)
+             if steps >= 50 else lr)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched, weight_decay=1e-5))
     opt_state = tx.init(params)
 
@@ -110,11 +120,25 @@ def train(
         new_bs = jax.tree.map(lambda x: x.mean(0), upds)
         return losses.mean(), new_bs
 
+    # the dataset lives on device (u8/f16); batches are gathered on device from
+    # host-chosen indices so each dispatch transfers K*batch ints instead of
+    # megabytes of images through the (slow) TPU tunnel. Passed as arguments,
+    # never closed over (jit would constant-fold the dataset -> OOM).
+    dimgs = jax.device_put(imgs)
+    ddeps = jax.device_put(deps)
+    K = 50
+
     @jax.jit
-    def step(p, bs, s, bi, bd):
-        (loss, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, bi, bd)
-        updates, s = tx.update(g, s, p)
-        return optax.apply_updates(p, updates), bs, s, loss
+    def step(p, bs, s, di, dd, idxs):  # idxs [K, batch]
+        def body(carry, idx):
+            p, bs, s = carry
+            bi = di[idx].astype(jnp.float32)
+            bd = dd[idx].astype(jnp.float32)
+            (loss, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, bi, bd)
+            updates, s = tx.update(g, s, p)
+            return (optax.apply_updates(p, updates), bs, s), loss
+        (p, bs, s), losses = jax.lax.scan(body, (p, bs, s), idxs)
+        return p, bs, s, losses
 
     @jax.jit
     def infer(p, bs, bi):
@@ -137,30 +161,54 @@ def train(
                 errs.append(float(np.mean((s * pr + b - t) ** 2)))
         return float(np.mean(errs))
 
-    nrng = np.random.default_rng(seed + 1)
     best = np.inf
+    start_step = 0
+    state = {"p": params, "bs": batch_stats}
+    if resume and Path(resume).exists():
+        state, opt_state, start_step, best = load_resume_state(
+            resume, state, opt_state)
+        params, batch_stats = state["p"], state["bs"]
+        log(f"[depthtrain] resumed from {resume} @ step {start_step} "
+            f"(best SSI {best:.5f})")
+
+    def save_best(it, cur):
+        out = Path(out_path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(msgpack_serialize({
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+        }))
+        Path(str(out) + ".json").write_text(json.dumps({"val_ssi_mse": cur, "step": it}))
+        log(f"[depthtrain] saved {out_path}")
+
     t0 = time.time()
-    for it in range(steps):
-        idx = nrng.integers(0, len(imgs), batch)
-        bi = jnp.asarray(imgs[idx], jnp.float32)
-        bd = jnp.asarray(deps[idx], jnp.float32)
-        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, bi, bd)
-        if (it + 1) % 100 == 0:
-            log(f"[depthtrain] step {it+1}/{steps} loss {float(loss):.5f} "
-                f"({(it+1)/(time.time()-t0):.1f} it/s)")
-        if (it + 1) % eval_every == 0 or it + 1 == steps:
+    it = start_step
+    while it < steps:
+        k = min(K, steps - it)
+        # per-step rng keyed on the step index: identical stream across resumes
+        idxs = np.stack([
+            np.random.default_rng(seed * 900001 + it + j).integers(
+                0, len(imgs), batch)
+            for j in range(k)]).astype(np.int32)
+        params, batch_stats, opt_state, losses = step(
+            params, batch_stats, opt_state, dimgs, ddeps, jnp.asarray(idxs))
+        losses = np.asarray(losses)
+        it += k
+        log(f"[depthtrain] step {it}/{steps} loss {losses.mean():.5f} "
+            f"({(it-start_step)/(time.time()-t0):.1f} it/s)")
+        if it % eval_every < k or it == steps:
             cur = val_ssi(params, batch_stats)
-            log(f"[depthtrain] step {it+1}: val SSI-MSE {cur:.5f}")
+            log(f"[depthtrain] step {it}: val SSI-MSE {cur:.5f}")
             if cur < best:
                 best = cur
-                out = Path(out_path)
-                out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_bytes(msgpack_serialize({
-                    "params": jax.device_get(params),
-                    "batch_stats": jax.device_get(batch_stats),
-                }))
-                Path(str(out) + ".json").write_text(json.dumps({"val_ssi_mse": cur}))
-                log(f"[depthtrain] saved {out_path}")
+                save_best(it, cur)
+        hit_wall = max_seconds > 0 and time.time() - t0 > max_seconds
+        if resume and (it % save_every < k or hit_wall or it == steps):
+            save_resume_state(resume, {"p": params, "bs": batch_stats},
+                              opt_state, it, best)
+        if hit_wall and it < steps:
+            log(f"[depthtrain] wall budget hit at step {it}; resume state saved")
+            break
     return best
 
 
@@ -174,9 +222,16 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataset_cache", default=None)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--resume", default=None,
+                    help="resume-state file; created/updated for chunked runs")
+    ap.add_argument("--max_seconds", type=float, default=0.0,
+                    help="stop (saving resume state) after this wall budget")
+    ap.add_argument("--eval_every", type=int, default=500)
     args = ap.parse_args(argv)
     best = train(args.out, args.scenes, args.steps, args.batch, args.lr,
-                 args.seed, args.dataset_cache, args.workers)
+                 args.seed, args.dataset_cache, args.workers,
+                 eval_every=args.eval_every, resume=args.resume,
+                 max_seconds=args.max_seconds)
     print(f"best val SSI-MSE: {best:.5f}")
     return 0
 

@@ -20,8 +20,12 @@ class FlowPairSpec:
     crop_hw: tuple = (256, 320)
     sensor_hw: tuple = (436, 1024)     # virtual full sensor (benchmark protocol)
     frames: int = 5
-    motion_scale: tuple = (0.15, 0.55)
-    rot_scale: tuple = (0.3, 1.0)
+    # Keep stride-1 flow mostly under ~30 px (mean ~12): the first dataset cut
+    # used (0.15-0.55, 0.3-1.0) which at f~1.2*1024 produced mean-104 px flow —
+    # far outside the correlation pyramid's sweet spot; the net plateaued at
+    # the predict-zero loss. These ranges match the acceptance sequences.
+    motion_scale: tuple = (0.04, 0.22)
+    rot_scale: tuple = (0.06, 0.35)
     p_dynamic: float = 0.6
     max_dynamic: int = 2
 

@@ -118,3 +118,45 @@ def load_flow_apply_batch(ckpt, iters: int = 12):
         return run(img1s, img2s)[:, :H, :W]
 
     return apply
+
+
+def load_flow_apply_sharded(ckpt, iters: int = 12, mesh=None, per_device: int = 4):
+    """Flow apply over an arbitrary pair list, data-parallel over a device mesh.
+
+    Returns `apply(img1s, img2s) -> flows [N, H, W, 2]` that processes pairs in
+    fixed-size blocks of `per_device * mesh_size` (one static compiled program,
+    last block padded), with the block's leading axis sharded over the mesh's
+    'data' axis — this is the pipeline counterpart of the reference's
+    sequential per-pair RAFT loop (run_particlesfm.py:31-36), SURVEY §2.11.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel.mesh import data_sharding, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    nd = int(np.prod(list(mesh.shape.values())))
+    block = per_device * nd
+    base = load_flow_apply_batch(ckpt, iters=iters)
+
+    sharding = data_sharding(mesh, 4)
+
+    def apply(img1s, img2s):
+        img1s = np.asarray(img1s, np.float32)
+        img2s = np.asarray(img2s, np.float32)
+        N = img1s.shape[0]
+        out = []
+        for k in range(0, N, block):
+            b1, b2 = img1s[k:k + block], img2s[k:k + block]
+            pad = block - len(b1)
+            if pad:
+                b1 = np.concatenate([b1, np.repeat(b1[-1:], pad, 0)])
+                b2 = np.concatenate([b2, np.repeat(b2[-1:], pad, 0)])
+            d1 = jax.device_put(jnp.asarray(b1), sharding)
+            d2 = jax.device_put(jnp.asarray(b2), sharding)
+            out.append(np.asarray(base(d1, d2))[: len(img1s[k:k + block])])
+        return np.concatenate(out, 0)
+
+    return apply

@@ -139,7 +139,9 @@ def train(
     # K optimizer steps per device dispatch: the tunneled chip pays a large
     # host<->device roundtrip per call, so the Python-loop-per-step pattern is
     # latency-bound; a lax.scan over index blocks amortizes it K-fold.
-    K = 50
+    # K=50 faulted the TPU worker through the tunnel (long-running single
+    # dispatch); 10 keeps each dispatch a few seconds.
+    K = 10
 
     @jax.jit
     def step(p, s, d1, d2, df, idxs):  # idxs [K, batch]

@@ -43,34 +43,62 @@ def segment_tracks(
     min_length: int = 3,
     threshold: float = 0.5,
     seed: int = 0,
+    mesh=None,
 ) -> TrackArrays:
     """Label every track observation as static (0) / dynamic (1).
 
-    apply_fn(traj [1,K,L,2], depth [1,L,h,w], valid [1,K,L]) -> logits [1,K].
-    Returns a new TrackArrays with `labels` filled.
+    apply_fn(traj [B,K,L,2], depth [B,L,h,w], valid [B,K,L]) -> logits [B,K].
+    All windows are stacked into ONE batched call (track axis padded to the
+    widest window) and the window axis is sharded data-parallel over `mesh`
+    when given — replacing the reference's one-window-per-forward GPU loop
+    (main_motion_segmentation.py:60-96). Returns TrackArrays with `labels`.
     """
     H, W = image_hw
     T = tracks.num_frames
     labels = np.zeros((tracks.num_tracks, T), np.int8)
     rng = np.random.default_rng(seed)
 
+    wins, samples = [], []
     for win in cut_windows(T, window_size):
         locs, present, rows = sample_inside_window(
             tracks, win, min_length=min_length, max_num_tracks=traj_max_num, rng=rng
         )
         if len(rows) == 0:
             continue
-        traj_norm = locs / np.array([W, H], np.float32)
-        d = depth_maps[win]                                  # [L, h, w]
-        logits = apply_fn(
-            jnp.asarray(traj_norm[None]),
-            jnp.asarray(d[None]),
-            jnp.asarray(present[None]),
+        wins.append(win)
+        samples.append((locs, present, rows))
+    if not wins:
+        return TrackArrays(xy=tracks.xy, mask=tracks.mask, labels=labels)
+
+    kmax = max(s[0].shape[0] for s in samples)
+    B, L = len(wins), len(wins[0])
+    traj = np.zeros((B, kmax, L, 2), np.float32)
+    valid = np.zeros((B, kmax, L), bool)
+    for b, (locs, present, _rows) in enumerate(samples):
+        k = locs.shape[0]
+        traj[b, :k] = locs / np.array([W, H], np.float32)
+        valid[b, :k] = present
+    depth = depth_maps[np.stack(wins)]                       # [B, L, h, w]
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_frames
+
+        dtraj, _ = shard_frames(traj, mesh)
+        ddepth, _ = shard_frames(depth, mesh)
+        dvalid, nb = shard_frames(valid, mesh)
+        logits = np.asarray(apply_fn(dtraj, ddepth, dvalid))[:nb]
+    else:
+        logits = np.asarray(
+            apply_fn(jnp.asarray(traj), jnp.asarray(depth), jnp.asarray(valid))
         )
-        dyn = np.asarray(jax.nn.sigmoid(logits[0])) > threshold   # [K]
+    dyn_all = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))) > threshold  # [B, kmax]
+
+    for b, (locs, present, rows) in enumerate(samples):
+        k = locs.shape[0]
+        dyn = dyn_all[b, :k]
         # write the window label onto each observation frame of each trajectory
         obs = present & dyn[:, None]
-        frame_cols = np.broadcast_to(win[None, :], present.shape)
+        frame_cols = np.broadcast_to(wins[b][None, :], present.shape)
         labels[rows[:, None], frame_cols] = np.where(
             obs, 1, labels[rows[:, None], frame_cols]
         )

@@ -85,9 +85,9 @@ def _load_raft_apply(cfg: Config):
         ckpt = str(DEFAULT_RAFT_CKPT)
     if ckpt is None:
         return None
-    from ..flow.infer import load_flow_apply
+    from ..flow.infer import load_flow_apply_sharded
 
-    return load_flow_apply(ckpt, iters=cfg.flow.iters)
+    return load_flow_apply_sharded(ckpt, iters=cfg.flow.iters)
 
 
 def _load_depth_apply(cfg: Config):
@@ -111,9 +111,29 @@ def _load_depth_apply(cfg: Config):
         variables["batch_stats"] = blob["batch_stats"]
     model = DepthNet(base=cfg.depth.base)
 
-    @jax.jit
-    def apply(img):
-        return model.apply(variables, jnp.asarray(img), train=False)
+    from ..parallel.mesh import data_sharding, make_mesh
+    import numpy as np
+
+    mesh = make_mesh()
+    nd = int(np.prod(list(mesh.shape.values())))
+    block = 4 * nd
+    sharding = data_sharding(mesh, 4)
+    run = jax.jit(jax.vmap(lambda im: model.apply(variables, im, train=False)))
+
+    def apply(imgs):
+        """Batched (imgs [N, H, W, 3]) -> depths [N, H, W]; frame axis is
+        processed in fixed blocks sharded data-parallel over the device mesh
+        (the reference runs MiDaS one frame at a time on one GPU)."""
+        imgs = np.asarray(imgs, np.float32)
+        out = []
+        for k in range(0, len(imgs), block):
+            b = imgs[k:k + block]
+            pad = block - len(b)
+            if pad:
+                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+            db = jax.device_put(jnp.asarray(b), sharding)
+            out.append(np.asarray(run(db))[: len(imgs[k:k + block])])
+        return np.concatenate(out, 0)
 
     return apply
 

@@ -39,7 +39,7 @@ def flow_stage(
     images: np.ndarray,            # [T, H, W, 3] float32
     out_dir: Path,
     cfg: Config,
-    raft_apply: Optional[Callable] = None,   # (img1, img2) -> flow [H, W, 2]
+    raft_apply: Optional[Callable] = None,   # (img1s, img2s) -> flows [N, H, W, 2]
     log=print,
 ):
     """Pairwise forward/backward flow at stride 1 (and 2 unless disabled).
@@ -47,7 +47,10 @@ def flow_stage(
     Writes flow_f/, flow_b/ (+ flow_f2/, flow_b2/) of .flo files — the
     reference's RAFT-stage contract (run_particlesfm.py:31-36). If the flow
     directories already exist (e.g. produced by the reference's RAFT), they are
-    reused; otherwise `raft_apply` must be provided (native RAFT inference).
+    reused; otherwise `raft_apply` must be provided (native RAFT inference,
+    batched over the pair axis and data-parallel over the device mesh —
+    flow/infer.load_flow_apply_sharded — instead of the reference's
+    sequential per-pair GPU loop).
     """
     T = images.shape[0]
     use_pc = not cfg.track.skip_path_consistency
@@ -80,14 +83,13 @@ def flow_stage(
                 "provided (pass --raft_ckpt or precompute flow)"
             )
         d.mkdir(parents=True, exist_ok=True)
-        flows = []
+        ia = np.arange(npairs) + (0 if stride > 0 else abs(stride))
+        ib = np.arange(npairs) + (abs(stride) if stride > 0 else 0)
+        flows = np.asarray(raft_apply(images[ia], images[ib]))
         for i in range(npairs):
-            a, b = (i, i + abs(stride)) if stride > 0 else (i + abs(stride), i)
-            flow = np.asarray(raft_apply(images[a], images[b]))
-            flows.append(flow)
-            flo_io.write_flo(d / f"{i:06d}.flo", flow)
-        result[name] = np.stack(flows)
-        log(f"[flow] {name}: computed {npairs} pairs")
+            flo_io.write_flo(d / f"{i:06d}.flo", flows[i])
+        result[name] = flows
+        log(f"[flow] {name}: computed {npairs} pairs (batched)")
     return result
 
 
@@ -138,7 +140,7 @@ def depth_stage(
     images: np.ndarray,
     out_dir: Path,
     cfg: Config,
-    depth_apply: Optional[Callable] = None,   # (img) -> depth [H, W]
+    depth_apply: Optional[Callable] = None,   # (imgs [N,H,W,3]) -> [N, H, W]
     log=print,
 ) -> np.ndarray:
     """Per-frame relative depth, 16-bit PNG contract (run_midas parity)."""
@@ -157,12 +159,13 @@ def depth_stage(
     d.mkdir(parents=True, exist_ok=True)
     from ..models.depth import normalize_depth
 
+    deps = np.asarray(depth_apply(images))               # batched, mesh-sharded
     out = []
     for i in range(T):
-        dep = np.asarray(normalize_depth(jnp.asarray(depth_apply(images[i]))))
+        dep = np.asarray(normalize_depth(jnp.asarray(deps[i])))
         write_depth_png16(d / f"{i:06d}.png", dep)
         out.append(dep)
-    log(f"[depth] computed {T} frames")
+    log(f"[depth] computed {T} frames (batched)")
     return np.stack(out)
 
 
@@ -183,11 +186,13 @@ def motionseg_stage(
     if seg_apply is None:
         raise RuntimeError("motion-seg stage: no segmentation weights provided")
     from ..motionseg import segment_tracks
+    from ..parallel.mesh import make_mesh
 
     labeled = segment_tracks(
         seg_apply, tracks, depths, image_hw,
         window_size=cfg.motionseg.window_size,
         traj_max_num=cfg.motionseg.traj_max_num,
+        mesh=make_mesh(),       # windows shard data-parallel over all devices
     )
     labeled_path.parent.mkdir(parents=True, exist_ok=True)
     labeled.save(labeled_path)

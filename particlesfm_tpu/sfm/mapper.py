@@ -326,46 +326,48 @@ def _run_global_mapper_once(
         jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv), jnp.asarray(obs_t.mask)
     )
 
-    if (cfg.sfm_type == "glomap" or cfg.position.method == "glomap") and V <= 100:
+    if cfg.sfm_type == "glomap" or cfg.position.method == "glomap":
         # ---- GLOMAP-mode: direct global positioning over bearings ----------
-        # skips pairwise translation refinement + MFAS + LUD entirely.
-        # Gated to shorter sequences: with an off focal prior and rotations
-        # fixed, the bearing solve can produce a reprojection-consistent but
-        # metrically warped geometry that BA cannot escape (focal becomes
-        # near-unobservable at that point); the LUD path's slightly
-        # inconsistent init keeps the joint focal gradient alive. Joint
-        # intrinsics inside global positioning is the round-2 fix.
-        from ..globalsfm.global_positioning import global_positioning
+        # skips pairwise translation refinement + MFAS + LUD entirely. The
+        # round-1 <=100-view gate existed because with an off focal prior and
+        # rotations fixed, the bearing solve produced reprojection-consistent
+        # but metrically warped geometry outside BA's focal basin; the joint
+        # closed-form focal step inside the IRLS loop (VERDICT #5) removes
+        # that observability failure, so the gate is gone.
+        from ..globalsfm.global_positioning import global_positioning_joint_focal
 
-        x_cam = (obs_t.uv - params[2:4]) / focal
-        rays_cam = np.concatenate(
-            [x_cam, np.ones(x_cam.shape[:-1] + (1,), np.float32)], axis=-1
+        duv = (obs_t.uv - params[2:4]).astype(np.float32)
+        a_cam = np.concatenate(
+            [duv, np.zeros(duv.shape[:-1] + (1,), np.float32)], axis=-1
         )
         R_np = np.asarray(R_abs)
-        rays = np.einsum("nkji,nkj->nki", R_np[obs_t.frame_idx], rays_cam)
-        rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
-        p_est, _, _ = global_positioning(
-            V, jnp.asarray(rays, jnp.float32), obs.frame_idx, obs.mask,
-            jax.random.PRNGKey(cfg.seed),
+        Rt = R_np[obs_t.frame_idx]                     # [N, K, 3, 3]
+        a_w = np.einsum("nkji,nkj->nki", Rt, a_cam)
+        b_w = Rt[..., 2, :].copy()                     # R^T e_z rows
+        p_est, _, _, f_est = global_positioning_joint_focal(
+            V, jnp.asarray(a_w), jnp.asarray(b_w), obs.frame_idx, obs.mask,
+            jax.random.PRNGKey(cfg.seed), g0=1.0 / focal,
         )
         q_est = rot.rotmat_to_quat(R_abs)
         t_est = se3.pose_from_center(q_est, p_est)
-        # quality gate: with a badly-off focal prior on long sequences the
-        # bearing-based solve can land outside BA's basin; verify by
-        # triangulation before committing, else fall through to the LUD path
-        X_chk = triangulate_tracks(q_est, t_est, jnp.asarray(params), obs)
+        # commit the jointly-estimated focal for triangulation + BA seeding
+        params_g = params.copy()
+        params_g[0] = params_g[1] = float(f_est)
+        # quality gate retained as a safety net (falls through to LUD)
+        X_chk = triangulate_tracks(q_est, t_est, jnp.asarray(params_g), obs)
         _, valid_chk, err_chk = filter_observations(
-            q_est, t_est, jnp.asarray(params), X_chk, obs, 1e9, 0.0
+            q_est, t_est, jnp.asarray(params_g), X_chk, obs, 1e9, 0.0
         )
         med_err = float(jnp.median(
             jnp.where(obs.mask, err_chk, jnp.nan)[obs.mask]
         ))
         frac_valid = float(valid_chk.sum()) / max(N, 1)
-        log(f"[mapper] glomap positioning: median reproj {med_err:.1f}px, "
+        log(f"[mapper] glomap positioning: focal {float(f_est):.1f} "
+            f"(prior {focal:.1f}), median reproj {med_err:.1f}px, "
             f"{frac_valid:.2f} tracks valid")
         if med_err < 8.0 * cfg.ba.filter_max_reproj_error_px and frac_valid > 0.5:
             return _refine_and_finish(
-                tracks, cfg, params, height, width, num_images, sub, full2sub,
+                tracks, cfg, params_g, height, width, num_images, sub, full2sub,
                 obs, obs_t, q_est, t_est, V, N, log,
             )
         log("[mapper] glomap positioning rejected; falling back to LUD path")
