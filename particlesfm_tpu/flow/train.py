@@ -71,6 +71,8 @@ def train(
     resume: str | None = None,
     max_seconds: float = 0.0,
     save_every: int = 200,
+    crop_hw: tuple | None = (192, 256),
+    infer_iters: int = 12,
     log=print,
 ):
     import jax
@@ -143,17 +145,28 @@ def train(
     # dispatch); 10 keeps each dispatch a few seconds.
     K = 10
 
+    # random crops cut per-step pixels (RAFT is fully convolutional; flow
+    # vectors are translation-invariant so cropping images+GT together is
+    # exact). Offsets are host-generated per step, sliced on device.
+    ch, cw = crop_hw if crop_hw else i1.shape[1:3]
+    ch, cw = min(ch, i1.shape[1]), min(cw, i1.shape[2])
+
+    def crop(im, oy, ox):
+        return jax.lax.dynamic_slice(im, (oy, ox, 0), (ch, cw, im.shape[-1]))
+
     @jax.jit
-    def step(p, s, d1, d2, df, idxs):  # idxs [K, batch]
-        def body(carry, idx):
+    def step(p, s, d1, d2, df, idxs, offs):  # idxs [K, batch], offs [K, batch, 2]
+        def body(carry, io):
             p, s = carry
-            b1 = d1[idx].astype(jnp.float32)
-            b2 = d2[idx].astype(jnp.float32)
-            bf = df[idx].astype(jnp.float32)
+            idx, off = io
+            vc = jax.vmap(crop)
+            b1 = vc(d1[idx].astype(jnp.float32), off[:, 0], off[:, 1])
+            b2 = vc(d2[idx].astype(jnp.float32), off[:, 0], off[:, 1])
+            bf = vc(df[idx].astype(jnp.float32), off[:, 0], off[:, 1])
             loss, g = jax.value_and_grad(loss_fn)(p, b1, b2, bf)
             updates, s = tx.update(g, s, p)
             return (optax.apply_updates(p, updates), s), loss
-        (p, s), losses = jax.lax.scan(body, (p, s), idxs)
+        (p, s), losses = jax.lax.scan(body, (p, s), (idxs, offs))
         return p, s, losses
 
     @jax.jit
@@ -182,20 +195,24 @@ def train(
         if cur < best_epe:
             best_epe = cur
             save_flow_checkpoint(out_path, params, "compact",
-                                 {"iters": iters, "val_epe": cur})
+                                 {"iters": infer_iters, "train_iters": iters,
+                                  "val_epe": cur})
             log(f"[flowtrain] saved {out_path} (EPE {cur:.3f})")
 
     # per-step rng keyed on the step index: identical stream across resumes
     t0 = time.time()
     it = start_step
+    H, W = i1.shape[1:3]
     while it < steps:
         k = min(K, steps - it)
-        idxs = np.stack([
-            np.random.default_rng(seed * 1000003 + it + j).integers(
-                0, len(i1), batch)
-            for j in range(k)]).astype(np.int32)
+        rngs = [np.random.default_rng(seed * 1000003 + it + j) for j in range(k)]
+        idxs = np.stack([r.integers(0, len(i1), batch) for r in rngs]).astype(np.int32)
+        offs = np.stack([
+            np.stack([r.integers(0, H - ch + 1, batch),
+                      r.integers(0, W - cw + 1, batch)], axis=-1)
+            for r in rngs]).astype(np.int32)
         params, opt_state, losses = step(params, opt_state, di1, di2, dfl,
-                                         jnp.asarray(idxs))
+                                         jnp.asarray(idxs), jnp.asarray(offs))
         losses = np.asarray(losses)
         it += k
         done = it - start_step
@@ -228,11 +245,17 @@ def main(argv=None):
     ap.add_argument("--max_seconds", type=float, default=0.0,
                     help="stop (saving resume state) after this wall budget")
     ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--crop", type=int, nargs=2, default=(192, 256),
+                    help="random-crop size for training steps (0 0 = full)")
+    ap.add_argument("--infer_iters", type=int, default=12,
+                    help="GRU iterations recorded in the checkpoint meta for inference")
     args = ap.parse_args(argv)
+    crop = tuple(args.crop) if args.crop and args.crop[0] > 0 else None
     best = train(args.out, args.scenes, args.steps, args.batch, args.iters,
                  args.lr, args.seed, args.dataset_cache, args.workers,
                  eval_every=args.eval_every, resume=args.resume,
-                 max_seconds=args.max_seconds)
+                 max_seconds=args.max_seconds, crop_hw=crop,
+                 infer_iters=args.infer_iters)
     print(f"best val EPE: {best:.3f} px")
     return 0
 
