@@ -42,6 +42,7 @@ class TrackerConfig:
     path_consistency: bool = True
     upper_flow: float = 20.0   # flow02 anchor gate (trajectory.py:179)
     gn_iters: int = 12
+    patch_lm: bool = True      # gather-free patch sampling inside the LM loop
 
 
 class TrackerOutput(NamedTuple):
@@ -171,6 +172,7 @@ def run_tracker(
             p_opt = optimize_locations(
                 p, uv_ref1, uv_ref2, scale, flow_map,
                 mask=eligible.astype(p.dtype), num_iters=cfg.gn_iters,
+                patch=cfg.patch_lm,
             )
             prev1 = jnp.where(eligible[:, None], p_opt[:, 0:2], prev1)
             new_pos = jnp.where(eligible[:, None], p_opt[:, 2:4], new_pos)

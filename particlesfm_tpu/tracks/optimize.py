@@ -51,11 +51,77 @@ def _sample_flow_and_jac(flow_map: jnp.ndarray, xy: jnp.ndarray):
     return val, jac * gate
 
 
-def path_consistency_residuals(p, uv_ref1, uv_ref2, ref2_scale, flow12_map):
+_PATCH = 6  # local flow window per trajectory: allows +-2 px of refinement
+            # travel around the init before edge-clamping (Ceres converges to
+            # subpixel adjustments here; see optimize_locations_patch)
+
+
+def _extract_patches(flow_map: jnp.ndarray, xy: jnp.ndarray):
+    """Gather a [P, P, 2] window of flow_map [H, W, 2] around each xy [..., 2].
+
+    Returns (patch [..., P, P, 2], ps [..., 2] int32 window origin). Windows are
+    clipped fully inside the image, so every later in-window read is in-bounds
+    and image-edge behavior matches edge-clamped interpolation.
+    """
+    H, W, _ = flow_map.shape
+    P = _PATCH
+    px = jnp.clip(jnp.floor(xy[..., 0]).astype(jnp.int32) - (P // 2 - 1), 0, W - P)
+    py = jnp.clip(jnp.floor(xy[..., 1]).astype(jnp.int32) - (P // 2 - 1), 0, H - P)
+    rows = py[..., None] + jnp.arange(P, dtype=jnp.int32)          # [..., P]
+    cols = px[..., None] + jnp.arange(P, dtype=jnp.int32)          # [..., P]
+    lin = rows[..., :, None] * W + cols[..., None, :]              # [..., P, P]
+    flat = flow_map.reshape(H * W, 2)
+    patch = jnp.take(flat, lin.reshape(lin.shape[:-2] + (P * P,)), axis=0)
+    return patch.reshape(lin.shape + (2,)), jnp.stack([px, py], axis=-1)
+
+
+def _patch_sample_and_jac(patch, ps, xy, height, width):
+    """Bilinear sample + Jacobian from per-point patches — no gathers.
+
+    The 2x2 interpolation cell is selected with one-hot weights over the patch
+    nodes (a [P-1]-length einsum per corner), so the LM loop is pure vector
+    math: scatter/gather-free, which is what makes the per-frame refinement
+    cheap on TPU (XLA row gathers from the full flow map serialize).
+    Semantics match _sample_flow_and_jac wherever the point stays within its
+    window; beyond it, the window edge-clamps (refinement travel is subpixel
+    in practice — the window gives +-2 px of slack).
+    """
+    P = _PATCH
+    x = jnp.clip(xy[..., 0], 0.0, width - 1.0) - ps[..., 0].astype(xy.dtype)
+    y = jnp.clip(xy[..., 1], 0.0, height - 1.0) - ps[..., 1].astype(xy.dtype)
+    x = jnp.clip(x, 0.0, P - 1.0)
+    y = jnp.clip(y, 0.0, P - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, P - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, P - 2).astype(jnp.int32)
+    dx = (x - x0.astype(x.dtype))[..., None]
+    dy = (y - y0.astype(y.dtype))[..., None]
+    sel_x = jax.nn.one_hot(x0, P - 1, dtype=xy.dtype)              # [..., P-1]
+    sel_y = jax.nn.one_hot(y0, P - 1, dtype=xy.dtype)
+    f00 = jnp.einsum("...pqc,...p,...q->...c", patch[..., : P - 1, : P - 1, :], sel_y, sel_x)
+    f01 = jnp.einsum("...pqc,...p,...q->...c", patch[..., : P - 1, 1:, :], sel_y, sel_x)
+    f10 = jnp.einsum("...pqc,...p,...q->...c", patch[..., 1:, : P - 1, :], sel_y, sel_x)
+    f11 = jnp.einsum("...pqc,...p,...q->...c", patch[..., 1:, 1:, :], sel_y, sel_x)
+    top = f00 + dx * (f01 - f00)
+    bot = f10 + dx * (f11 - f10)
+    val = top + dy * (bot - top)
+    dfdx = (1 - dy) * (f01 - f00) + dy * (f11 - f10)
+    dfdy = bot - top
+    jac = jnp.stack([dfdx, dfdy], axis=-1)
+    inx = ((xy[..., 0] >= 0.0) & (xy[..., 0] <= width - 1.0))[..., None, None]
+    iny = ((xy[..., 1] >= 0.0) & (xy[..., 1] <= height - 1.0))[..., None, None]
+    gate = jnp.concatenate([inx, iny], axis=-1).astype(val.dtype)
+    return val, jac * gate
+
+
+def path_consistency_residuals(p, uv_ref1, uv_ref2, ref2_scale, flow12_map,
+                               sample_fn=None):
     """Residuals r [..., 6] and Jacobian J [..., 6, 4] for blocks p [..., 4]."""
     x1 = p[..., 0:2]
     x2 = p[..., 2:4]
-    f12, jf = _sample_flow_and_jac(flow12_map, x1)
+    if sample_fn is None:
+        f12, jf = _sample_flow_and_jac(flow12_map, x1)
+    else:
+        f12, jf = sample_fn(x1)
     r01 = x1 - uv_ref1
     r02 = (x2 - uv_ref2) * ref2_scale[..., None]
     r12 = (x2 - x1) - f12
@@ -109,7 +175,7 @@ def _solve4_spd(H, g):
     return jnp.stack([x0, x1, x2, x3], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
+@partial(jax.jit, static_argnames=("num_iters", "patch"))
 def optimize_locations(
     uv12: jnp.ndarray,
     uv_ref1: jnp.ndarray,
@@ -118,16 +184,27 @@ def optimize_locations(
     flow12_map: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     num_iters: int = 20,
+    patch: bool = False,
 ) -> jnp.ndarray:
     """Batched LM solve of the path-consistency problem.
 
     uv12: [N, 4] initial (x1,y1,x2,y2); uv_ref1/uv_ref2: [N, 2]; ref2_scale: [N];
     flow12_map: [H, W, 2]; mask: [N] (rows with 0 are passed through unchanged).
+    With `patch`, the flow map is gathered ONCE into per-point 6x6 windows and
+    every LM iteration samples gather-free from them (same solution wherever
+    the refinement stays within +-2 px of the init — it is subpixel in
+    practice; the full-map mode re-gathers 4 corners per point per iteration).
     Returns optimized [N, 4].
     """
     if mask is None:
         mask = jnp.ones(uv12.shape[:-1], uv12.dtype)
     mask = mask.astype(uv12.dtype)
+
+    sample_fn = None
+    if patch:
+        H, W, _ = flow12_map.shape
+        patches, ps = _extract_patches(flow12_map, uv12[..., 0:2])
+        sample_fn = lambda x1: _patch_sample_and_jac(patches, ps, x1, H, W)
 
     # Single-evaluation Levenberg-Marquardt: the carry holds the best point's
     # gradient/Hessian, so a rejected step re-proposes from the stored model
@@ -135,7 +212,8 @@ def optimize_locations(
     # evaluation (the bilinear-gather traffic that dominates the tracker's
     # per-frame cost) per iteration instead of two.
     def eval_model(p):
-        r, J = path_consistency_residuals(p, uv_ref1, uv_ref2, ref2_scale, flow12_map)
+        r, J = path_consistency_residuals(p, uv_ref1, uv_ref2, ref2_scale,
+                                          flow12_map, sample_fn)
         cost = jnp.sum(r * r, axis=-1)
         g = jnp.einsum("...ri,...r->...i", J, r)
         H = jnp.einsum("...ri,...rj->...ij", J, J)

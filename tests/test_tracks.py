@@ -181,3 +181,26 @@ def test_track_arrays_reference_roundtrip():
     back = TrackArrays.from_reference_dict(d, num_frames=6)
     np.testing.assert_array_equal(back.mask, tracks.mask)
     np.testing.assert_allclose(back.xy, tracks.xy, atol=1e-6)
+
+
+def test_optimize_locations_patch_matches_full(rng):
+    """Gather-free patch mode must reproduce the full-map LM wherever the
+    refinement stays inside its 6x6 window (always, for subpixel travel)."""
+    H, W = 24, 32
+    flow12 = rng.normal(scale=1.2, size=(H, W, 2)).astype(np.float32)
+    n = 64
+    x0 = np.stack([rng.uniform(1, W - 2, n), rng.uniform(1, H - 2, n)], -1)
+    uv_ref1 = x0 + rng.normal(scale=0.5, size=(n, 2))
+    uv_ref2 = x0 + rng.normal(scale=0.8, size=(n, 2))
+    scale = rng.uniform(0.0, 1.0, size=n)
+    p0 = np.concatenate([uv_ref1, uv_ref2], -1) + rng.normal(scale=0.3, size=(n, 4))
+    args = (
+        jnp.asarray(p0, jnp.float32),
+        jnp.asarray(uv_ref1, jnp.float32),
+        jnp.asarray(uv_ref2, jnp.float32),
+        jnp.asarray(scale, jnp.float32),
+        jnp.asarray(flow12),
+    )
+    full = np.asarray(optimize_locations(*args, num_iters=25))
+    pat = np.asarray(optimize_locations(*args, num_iters=25, patch=True))
+    assert np.max(np.abs(full - pat)) < 5e-3, np.max(np.abs(full - pat))
