@@ -182,3 +182,79 @@ def geometric_dynamic_track_filter(
     np.add.at(good, ti[inl], 1)
     rate = good / np.maximum(total, 1)
     return (total >= min_samples) & (rate < max_inlier_rate)
+
+
+def two_model_motion_clustering(
+    num_tracks: int,
+    pair_t: PairTensors,
+    verified: np.ndarray,        # [E] bool
+    member_a: np.ndarray,        # [E, M] bool — under-threshold vs model A
+    member_b: np.ndarray,        # [E, M] bool — under-threshold vs model B
+    has_b: np.ndarray,           # [E] bool — second model exists & verified
+    min_votes: int = 3,
+    max_dynamic_fraction: float = 0.5,
+    rounds: int = 3,
+) -> np.ndarray:
+    """Cross-pair motion clustering over sequential two-model RANSAC outputs.
+
+    The slow-large-object failure (DESIGN.md hard case): on short baselines one
+    essential matrix blends both motion populations, so per-pair inlier voting
+    cannot separate them — but on wide-baseline pairs the accumulated object
+    displacement exceeds the threshold and the populations split into models A
+    and B. Ambiguous observations (inliers of BOTH models — the short-baseline
+    blend) cast no vote; unambiguous ones vote for their model. Which local
+    model is "static" is resolved per pair by overlap with the current static
+    set, seeded by spatial coverage (the background spans the frame; an object
+    is compact) — this is the label-alignment step that turns per-pair
+    memberships into a global clustering. Tracks whose votes are mostly on the
+    non-static side are dynamic. A fraction guard ignores implausible results
+    (if "dynamic" won most of the scene, the clustering is untrustworthy).
+
+    Returns [num_tracks] bool. Reference has no counterpart (relies on its
+    trained net); this is the geometry-only defense (NEXT round-2 item #2).
+    """
+    ve = np.asarray(verified)
+    ti = pair_t.track_idx[ve]
+    pm = pair_t.mask[ve] & (ti >= 0)
+    mA = np.asarray(member_a)[ve] & pm
+    mB = np.asarray(member_b)[ve] & pm & np.asarray(has_b)[ve, None]
+    onlyA = mA & ~mB
+    onlyB = mB & ~mA
+    uv = pair_t.uv1[ve]
+
+    # spatial-coverage seed: per pair, the side whose unambiguous members
+    # spread wider in the image is provisionally static
+    def spread(m):
+        cnt = np.maximum(m.sum(axis=1), 1)
+        mean = (uv * m[..., None]).sum(axis=1) / cnt[:, None]
+        var = (((uv - mean[:, None]) ** 2) * m[..., None]).sum(axis=1) / cnt[:, None]
+        return np.sqrt(var.sum(axis=1))
+
+    a_static = spread(onlyA) >= spread(onlyB)
+
+    dynamic = np.zeros(num_tracks, bool)
+    for _ in range(rounds):
+        stat_votes = np.zeros(num_tracks, np.int64)
+        dyn_votes = np.zeros(num_tracks, np.int64)
+        sA = np.where(a_static[:, None], onlyA, onlyB)
+        sB = np.where(a_static[:, None], onlyB, onlyA)
+        np.add.at(stat_votes, ti[sA], 1)
+        np.add.at(dyn_votes, ti[sB], 1)
+        total = stat_votes + dyn_votes
+        new_dyn = (total >= min_votes) & (dyn_votes > stat_votes)
+        # realign per-pair static side against the updated static set
+        trk_static = ~new_dyn
+        ovA = (onlyA & trk_static[np.clip(ti, 0, None)]).sum(axis=1)
+        ovB = (onlyB & trk_static[np.clip(ti, 0, None)]).sum(axis=1)
+        a_static = np.where(ovA == ovB, a_static, ovA > ovB)
+        if (new_dyn == dynamic).all():
+            dynamic = new_dyn
+            break
+        dynamic = new_dyn
+
+    participating = np.zeros(num_tracks, bool)
+    participating[ti[pm]] = True
+    denom = max(int(participating.sum()), 1)
+    if dynamic.sum() > max_dynamic_fraction * denom:
+        return np.zeros(num_tracks, bool)
+    return dynamic

@@ -178,21 +178,68 @@ def _run_global_mapper_once(
         (cfg.geometric_verification_max_error_px / focal) ** 2,
         np.float32,
     )
-    tv = estimate_relative_poses(
-        jax.random.PRNGKey(cfg.seed),
-        jnp.asarray(norm(pair_t.uv1)),
-        jnp.asarray(norm(pair_t.uv2)),
-        jnp.asarray(pair_t.mask),
-        jnp.asarray(thres_sq),
-    )
-    num_inl = np.asarray(tv.num_inliers)
-    num_m = pair_t.mask.sum(axis=1)
-    verified = (num_inl >= cfg.geometric_verification_min_num_inliers) & (
-        num_inl >= cfg.geometric_verification_min_inlier_ratio * np.maximum(num_m, 1)
-    )
-    log(f"[mapper] geometric verification kept {verified.sum()}/{len(verified)} pairs")
-    if verified.sum() < 3:
-        return _failed(num_images, params, height, width)
+    x1n = jnp.asarray(norm(pair_t.uv1))
+    x2n = jnp.asarray(norm(pair_t.uv2))
+    pmask = pair_t.mask.copy()
+    # two passes: if the dynamic-track filters flag anything, the pairwise
+    # poses are re-estimated with those correspondences removed — on the
+    # slow-large-object case the first-pass essential matrices are blends of
+    # both motion populations and would bias rotation/translation averaging.
+    for attempt in range(2):
+        tv = estimate_relative_poses(
+            jax.random.PRNGKey(cfg.seed),
+            x1n, x2n, jnp.asarray(pmask), jnp.asarray(thres_sq),
+        )
+        num_inl = np.asarray(tv.num_inliers)
+        num_m = pmask.sum(axis=1)
+        verified = (num_inl >= cfg.geometric_verification_min_num_inliers) & (
+            num_inl >= cfg.geometric_verification_min_inlier_ratio * np.maximum(num_m, 1)
+        )
+        log(f"[mapper] geometric verification kept {verified.sum()}/{len(verified)} pairs")
+        if verified.sum() < 3:
+            return _failed(num_images, params, height, width)
+        if attempt > 0 or not (cfg.geometric_dynamic_filter or cfg.two_model_ransac):
+            break
+
+        dyn = np.zeros(tracks.num_tracks, bool)
+        if cfg.geometric_dynamic_filter:
+            from .correspondences import geometric_dynamic_track_filter
+
+            dyn |= geometric_dynamic_track_filter(
+                tracks.num_tracks, pair_t, verified, np.asarray(tv.inliers),
+                cfg.geometric_dynamic_max_inlier_rate,
+                cfg.geometric_dynamic_min_samples,
+            )
+        if cfg.two_model_ransac:
+            from ..geometry import epipolar
+            from .correspondences import two_model_motion_clustering
+
+            # sequential second model on the first model's outliers
+            mask_b = pmask & ~np.asarray(tv.inliers)
+            tv_b = estimate_relative_poses(
+                jax.random.PRNGKey(cfg.seed + 7),
+                x1n, x2n, jnp.asarray(mask_b), jnp.asarray(thres_sq),
+            )
+            has_b2 = np.asarray(tv_b.num_inliers) >= max(
+                cfg.geometric_verification_min_num_inliers, 8)
+            E_b = epipolar.essential_from_pose(tv_b.q_rel, tv_b.t_rel)
+            err_b = np.asarray(epipolar.sampson_error(E_b, x1n, x2n))
+            member_b = (err_b < thres_sq[:, None]) & pair_t.mask
+            dyn2 = two_model_motion_clustering(
+                tracks.num_tracks, pair_t, verified,
+                np.asarray(tv.inliers), member_b, has_b2,
+                cfg.two_model_min_votes, cfg.two_model_max_dynamic_fraction,
+            )
+            if dyn2.any():
+                log(f"[mapper] two-model clustering flagged {int(dyn2.sum())} tracks")
+            dyn |= dyn2
+        if not dyn.any():
+            break
+        log(f"[mapper] geometric dynamic filters flagged {int(dyn.sum())} tracks; "
+            "re-estimating pairwise geometry without them")
+        static_mask = static_mask & ~dyn[:, None]
+        ti = pair_t.track_idx
+        pmask = pmask & ~(dyn[np.clip(ti, 0, None)] & (ti >= 0))
 
     # ---- degenerate-configuration classification (two_view_geometry.h:48-67):
     # planar pairs get their pose from the homography decomposition (the
@@ -207,8 +254,8 @@ def _run_global_mapper_once(
 
         cls = classify_two_view(
             jax.random.PRNGKey(cfg.seed + 1),
-            jnp.asarray(norm(pair_t.uv1)), jnp.asarray(norm(pair_t.uv2)),
-            jnp.asarray(pair_t.mask), jnp.asarray(thres_sq),
+            x1n, x2n,
+            jnp.asarray(pmask), jnp.asarray(thres_sq),
             tv.inliers, jnp.asarray(pair_t.uv1), jnp.asarray(pair_t.uv2),
             (height, width),
             min_num_inliers=cfg.geometric_verification_min_num_inliers,
@@ -233,18 +280,6 @@ def _run_global_mapper_once(
         if verified.sum() < 3:
             log("[mapper] all pairs degenerate after classification")
             return _failed(num_images, params, height, width)
-
-    if cfg.geometric_dynamic_filter:
-        from .correspondences import geometric_dynamic_track_filter
-
-        dyn = geometric_dynamic_track_filter(
-            tracks.num_tracks, pair_t, verified, np.asarray(tv.inliers),
-            cfg.geometric_dynamic_max_inlier_rate,
-            cfg.geometric_dynamic_min_samples,
-        )
-        if dyn.any():
-            log(f"[mapper] geometric dynamic filter flagged {int(dyn.sum())} tracks")
-            static_mask = static_mask & ~dyn[:, None]
 
     pairs = pair_t.pairs[verified]
     counts = num_inl[verified]

@@ -142,6 +142,16 @@ class SfmConfig:
     geometric_dynamic_filter: bool = True
     geometric_dynamic_max_inlier_rate: float = 0.3
     geometric_dynamic_min_samples: int = 4
+    # per-pair sequential two-model RANSAC + cross-pair motion clustering:
+    # catches the slow-large-object blended-geometry case the epipolar-voting
+    # filter cannot (the blend makes dynamic tracks pairwise inliers on short
+    # baselines; wide-baseline pairs separate the populations, and the cluster
+    # with the wider spatial coverage is kept as static). When tracks are
+    # flagged by either filter, the pairwise poses are RE-estimated with those
+    # tracks' correspondences removed, un-blending the relative geometry.
+    two_model_ransac: bool = True
+    two_model_min_votes: int = 3
+    two_model_max_dynamic_fraction: float = 0.5
     # two-view degenerate-configuration classification (two_view_geometry.h:48-67):
     # watermark pairs dropped, planar pairs repose from H, panoramic pairs
     # contribute rotation only
