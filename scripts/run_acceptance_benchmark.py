@@ -1,0 +1,136 @@
+"""Sintel-protocol-scale acceptance benchmark over the rendered acc13 set.
+
+Sweeps the FULL pixels-to-poses pipeline (images -> trained flow net ->
+trajectories -> motion seg -> global SfM -> converted poses) over the 13
+sequences rendered by make_acceptance_set.py (1024x436, ~48 frames — the
+reference's protocol shape, README.md:18-23), scores with the evo-equivalent
+Sintel eval (Sim3 ATE + RPE, <80% registration = failure), and writes a JSON
+summary with end-to-end and per-stage frames/s against the reference baseline
+(BASELINE.md: 3.35 min/seq SfM at 45.6 frames avg = 0.227 fps; the end-to-end
+reference rate also includes RAFT/MiDaS/seg GPU inference it does not publish).
+
+Run on the real TPU (single process!):
+
+    python scripts/run_acceptance_benchmark.py --data_dir data/acc13 \
+        --out_dir /tmp/accrun [--sfm_type global] [--seqs seq_00 ...]
+"""
+import argparse
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def parse_timings(path: Path) -> dict:
+    """StageTimer report lines look like '  <stage>: <sec> s'."""
+    out = {}
+    if not path.exists():
+        return out
+    for line in path.read_text().splitlines():
+        m = re.match(r"\s*(\S+)\s+([0-9.]+)s\s", line)
+        if m and m.group(1) != "TOTAL":
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="data/acc13")
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--sfm_type", default="global",
+                    choices=["global", "incremental", "glomap"])
+    ap.add_argument("--seqs", nargs="*", default=None)
+    ap.add_argument("--sample_ratio", type=int, default=2)
+    ap.add_argument("--skip_exists", action="store_true")
+    ap.add_argument("--summary", default=None,
+                    help="JSON summary path (default <out_dir>/summary.json)")
+    args = ap.parse_args(argv)
+
+    from particlesfm_tpu.eval import sintel as eval_sintel
+    from particlesfm_tpu.pipeline.run import (build_arg_parser, config_from_args,
+                                              run_pipeline)
+
+    data = Path(args.data_dir)
+    seq_root = data / "seqs"
+    gt_root = data / "gt"
+    out_root = Path(args.out_dir)
+    names = args.seqs or sorted(p.name for p in seq_root.iterdir() if p.is_dir())
+
+    pargs = build_arg_parser().parse_args(
+        ["--root_dir", str(seq_root), "--image_folder", "images",
+         "--keep_intermediate", "--sample_ratio", str(args.sample_ratio),
+         "--sfm_type", args.sfm_type]
+        + (["--skip_exists"] if args.skip_exists else [])
+    )
+    cfg = config_from_args(pargs)
+
+    per_seq = {}
+    nframes = {}
+    t_all = time.time()
+    for name in names:
+        img_dir = seq_root / name / "images"
+        out = out_root / name / "particlesfm_tpu"
+        nframes[name] = len(list(img_dir.glob("*.png")))
+        t0 = time.time()
+        run_pipeline(img_dir, out, cfg, log=lambda *a: None)
+        dt = time.time() - t0
+        stages = parse_timings(out / "timings.txt")
+        per_seq[name] = {"wall_s": round(dt, 2), "frames": nframes[name],
+                         "stages": stages}
+        print(f"{name}: {dt:.1f}s for {nframes[name]} frames "
+              f"({nframes[name]/dt:.2f} fps) | " +
+              " ".join(f"{k}={v:.1f}s" for k, v in stages.items()), flush=True)
+    total = time.time() - t_all
+    tot_frames = sum(nframes.values())
+
+    rc = eval_sintel.main([
+        "--gt_root", str(gt_root), "--pred_root", str(out_root),
+        "--seqs", *names, "--plot_dir", str(out_root / "plots"),
+    ])
+
+    # aggregate the eval report (one errors_ate.txt at pred_root, evo layout)
+    ate, rpe_t, rpe_r, failed = [], [], [], []
+    report = (out_root / "errors_ate.txt").read_text()
+    for line in report.splitlines():
+        m = re.match(
+            r"(\S+): ATE ([0-9.]+)\s+RPE-t ([0-9.]+)\s+RPE-r ([0-9.]+)deg", line)
+        if m:
+            ate.append(float(m.group(2)))
+            rpe_t.append(float(m.group(3)))
+            rpe_r.append(float(m.group(4)))
+        elif ": FAILED" in line:
+            failed.append(line.split(":")[0])
+
+    stage_tot = {}
+    for s in per_seq.values():
+        for k, v in s["stages"].items():
+            stage_tot[k] = stage_tot.get(k, 0.0) + v
+    summary = {
+        "protocol": "acc13 synthetic Sintel-scale (1024x436, pixels-to-poses)",
+        "sfm_type": args.sfm_type,
+        "num_seqs": len(names),
+        "total_frames": tot_frames,
+        "total_wall_s": round(total, 1),
+        "end_to_end_fps": round(tot_frames / total, 3),
+        "stage_seconds": {k: round(v, 1) for k, v in stage_tot.items()},
+        "ate_mean": round(float(np.mean(ate)), 4) if ate else None,
+        "rpe_trans_mean": round(float(np.nanmean(rpe_t)), 4) if rpe_t else None,
+        "rpe_rot_deg_mean": round(float(np.nanmean(rpe_r)), 4) if rpe_r else None,
+        "failed_seqs": failed,
+        "per_seq": per_seq,
+    }
+    spath = Path(args.summary) if args.summary else out_root / "summary.json"
+    spath.parent.mkdir(parents=True, exist_ok=True)
+    spath.write_text(json.dumps(summary, indent=1))
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_seq"},
+                     indent=1), flush=True)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
