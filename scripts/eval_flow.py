@@ -1,0 +1,70 @@
+"""Flow-net accuracy eval at acceptance-protocol scale.
+
+Scores the trained compact-RAFT checkpoint against the acc13 GT flow sidecars
+(stride-1 and stride-2 EPE at 1024x436) — the in-environment analog of the
+reference's RAFT fork being validated on Sintel flow EPE. Run on the real TPU
+(single process) or CPU with --frames limited.
+
+    python scripts/eval_flow.py [--ckpt checkpoints/raft_synth.msgpack]
+        [--data_dir data/acc13] [--seqs seq_00 seq_01_dyn] [--frames 8]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="checkpoints/raft_synth.msgpack")
+    ap.add_argument("--data_dir", default="data/acc13")
+    ap.add_argument("--seqs", nargs="*", default=None)
+    ap.add_argument("--frames", type=int, default=8,
+                    help="pairs sampled per sequence and stride")
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args(argv)
+
+    from PIL import Image
+
+    import particlesfm_tpu  # noqa: F401
+    from particlesfm_tpu.flow.infer import load_flow_apply_batch
+    from particlesfm_tpu.io import flo as flo_io
+
+    data = Path(args.data_dir)
+    seqs = args.seqs or sorted(p.name for p in (data / "seqs").iterdir())
+    apply = load_flow_apply_batch(args.ckpt, iters=args.iters)
+
+    all_epe = {1: [], 2: []}
+    t0 = time.time()
+    npairs = 0
+    for seq in seqs:
+        img_dir = data / "seqs" / seq / "images"
+        imgs = sorted(img_dir.glob("*.png"))
+        for stride, sub in ((1, "flow_f"), (2, "flow_f2")):
+            gt_dir = data / "gt" / seq / sub
+            gts = sorted(gt_dir.glob("*.flo"))
+            if not gts:
+                continue
+            sel = np.linspace(0, len(gts) - 1, min(args.frames, len(gts))).astype(int)
+            i1 = np.stack([np.asarray(Image.open(imgs[i]), np.float32) for i in sel])
+            i2 = np.stack([np.asarray(Image.open(imgs[i + stride]), np.float32) for i in sel])
+            gt = np.stack([flo_io.read_flo(gts[i]) for i in sel])
+            pred = np.asarray(apply(i1, i2))
+            epe = np.linalg.norm(pred - gt, axis=-1).mean(axis=(1, 2))
+            all_epe[stride].extend(epe.tolist())
+            npairs += len(sel)
+        done = {s: round(float(np.mean(v)), 3) for s, v in all_epe.items() if v}
+        print(f"{seq}: cumulative EPE {done}", flush=True)
+    dt = time.time() - t0
+    print(f"\nmean EPE: stride-1 {np.mean(all_epe[1]):.3f} px "
+          f"({len(all_epe[1])} pairs), stride-2 {np.mean(all_epe[2]):.3f} px "
+          f"({len(all_epe[2])} pairs) | {npairs/dt:.1f} pairs/s incl. compile")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
