@@ -140,13 +140,7 @@ def default_free_masks(num_views: int, refine_rotation: bool = True):
     return free
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "max_iterations", "pcg_iters", "use_soft_l1", "refine_focal", "solver"
-    ),
-)
-def bundle_adjust(
+def _bundle_adjust_impl(
     q: jnp.ndarray,           # [V, 4]
     t: jnp.ndarray,           # [V, 3]
     params: jnp.ndarray,      # [5] shared intrinsics
@@ -161,6 +155,7 @@ def bundle_adjust(
     init_lam: float = 1e-4,
     refine_focal: bool = False,
     solver: str = "dense",
+    reduce_fn=None,
 ) -> BAState:
     """LM bundle adjustment; optionally solves the shared focal length jointly.
 
@@ -172,9 +167,18 @@ def bundle_adjust(
     explicitly and solved by dense Cholesky — exact, one MXU-friendly solve;
     right up to ~2k cameras this is both faster and more accurate in f32 than
     truncated PCG (this problem class has <= a few hundred cameras per scene).
-    solver="pcg": matrix-free Schur PCG with block-Jacobi preconditioning — the
-    scale-out path where the camera system is itself sharded over the mesh.
+    solver="pcg": matrix-free Schur PCG with block-Jacobi preconditioning.
+
+    `reduce_fn` completes cross-TRACK reductions: identity on one device; under
+    shard_map with the track axis sharded it is a psum over the mesh axis
+    (parallel/sharded_ba.py). Point blocks stay device-local; only the tiny
+    reduced camera-system pieces ([V,6,6]-scale) ride the collectives — the
+    sparse-Schur communication pattern the reference's Ceres gets from shared
+    memory. GSPMD alone mis-lowers the chunked Schur assembly (the dynamic
+    slices over the sharded track axis force all-gathers), hence the explicit
+    formulation.
     """
+    R = reduce_fn if reduce_fn is not None else (lambda x: x)
     V = q.shape[0]
     fidx = obs.frame_idx
     pm = point_mask[:, None].astype(X.dtype)
@@ -189,30 +193,31 @@ def bundle_adjust(
     def lm_step(carry, _):
         q, t, X, params, lam = carry
         w_obs, cost0 = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1, pm)
+        cost0 = R(cost0)
         r, Jc, Jp, Jf = _residuals_jacobians(q, t, params, X, obs, w_obs)
 
         # --- assemble blocks -------------------------------------------------
         if use_onehot:
             oh = jax.nn.one_hot(fidx, V, dtype=X.dtype)    # [N, K, V]
-            Hcc = jnp.einsum("nkv,nkri,nkrj->vij", oh, Jc, Jc)
-            gc = jnp.einsum("nkv,nkri,nkr->vi", oh, Jc, r)
-            Hcf = jnp.einsum("nkv,nkri,nkr->vi", oh, Jc, Jf)
+            Hcc = R(jnp.einsum("nkv,nkri,nkrj->vij", oh, Jc, Jc))
+            gc = R(jnp.einsum("nkv,nkri,nkr->vi", oh, Jc, r))
+            Hcf = R(jnp.einsum("nkv,nkri,nkr->vi", oh, Jc, Jf))
         else:
-            Hcc = jnp.zeros((V, 6, 6), X.dtype).at[fidx].add(
+            Hcc = R(jnp.zeros((V, 6, 6), X.dtype).at[fidx].add(
                 jnp.einsum("nkri,nkrj->nkij", Jc, Jc)
-            )
-            gc = jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            ))
+            gc = R(jnp.zeros((V, 6), X.dtype).at[fidx].add(
                 jnp.einsum("nkri,nkr->nki", Jc, r)
-            )
-            Hcf = jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            ))
+            Hcf = R(jnp.zeros((V, 6), X.dtype).at[fidx].add(
                 jnp.einsum("nkri,nkr->nki", Jc, Jf)
-            )
+            ))
         Hpp = jnp.einsum("nkri,nkrj->nij", Jp, Jp)
         gp = jnp.einsum("nkri,nkr->ni", Jp, r)
         Wcp = jnp.einsum("nkri,nkrj->nkij", Jc, Jp)        # [N, K, 6, 3]
         # focal border blocks
-        Hff = jnp.sum(Jf * Jf)
-        gf = jnp.sum(Jf * r)
+        Hff = R(jnp.sum(Jf * Jf))
+        gf = R(jnp.sum(Jf * r))
         Wfp = jnp.einsum("nkr,nkrj->nj", Jf, Jp)           # [N, 3]
 
         # LM damping
@@ -224,13 +229,13 @@ def bundle_adjust(
         # Schur border terms (explicit, tiny): S_cf, S_ff
         HpiWfp = jnp.einsum("nij,nj->ni", Hpp_inv, Wfp)    # [N, 3]
         if use_onehot:
-            S_cf = Hcf - jnp.einsum("nkv,nkij,nj->vi", oh, Wcp, HpiWfp)
+            S_cf = Hcf - R(jnp.einsum("nkv,nkij,nj->vi", oh, Wcp, HpiWfp))
         else:
-            S_cf = Hcf - jnp.zeros((V, 6), X.dtype).at[fidx].add(
+            S_cf = Hcf - R(jnp.zeros((V, 6), X.dtype).at[fidx].add(
                 jnp.einsum("nkij,nj->nki", Wcp, HpiWfp)
-            )
+            ))
         S_cf = S_cf * fm * f_free
-        S_ff = (dHff - jnp.sum(Wfp * HpiWfp)) * f_free + (1.0 - f_free)
+        S_ff = (dHff - R(jnp.sum(Wfp * HpiWfp))) * f_free + (1.0 - f_free)
 
         def schur_matvec(xc, xf):
             xc = xc * fm
@@ -240,7 +245,7 @@ def bundle_adjust(
             u = jnp.einsum("nkij,nki->nj", Wcp, xg)        # [N, 3]
             w = jnp.einsum("nij,nj->ni", Hpp_inv, u)
             yk = jnp.einsum("nkij,nj->nki", Wcp, w)
-            y = y - jnp.zeros((V, 6), X.dtype).at[fidx].add(yk)
+            y = y - R(jnp.zeros((V, 6), X.dtype).at[fidx].add(yk))
             y = y + S_cf * xf
             yf = jnp.sum(S_cf * xc) + S_ff * xf
             return y * fm, yf * f_free
@@ -248,14 +253,14 @@ def bundle_adjust(
         # rhs = -g + W Hpp^-1 gp (camera and focal rows)
         hp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)
         if use_onehot:
-            rhs_c = (-gc + jnp.einsum("nkv,nkij,nj->vi", oh, Wcp, hp)) * fm
+            rhs_c = (-gc + R(jnp.einsum("nkv,nkij,nj->vi", oh, Wcp, hp))) * fm
         else:
             rhs_c = (
-                -gc + jnp.zeros((V, 6), X.dtype).at[fidx].add(
+                -gc + R(jnp.zeros((V, 6), X.dtype).at[fidx].add(
                     jnp.einsum("nkij,nj->nki", Wcp, hp)
-                )
+                ))
             ) * fm
-        rhs_f = (-gf + jnp.sum(Wfp * hp)) * f_free
+        rhs_f = (-gf + R(jnp.sum(Wfp * hp))) * f_free
 
         if solver == "dense":
             # --- explicit reduced camera system, exact Cholesky solve --------
@@ -295,6 +300,7 @@ def bundle_adjust(
             S, _ = jax.lax.scan(
                 add_chunk, jnp.zeros((V, V, 6, 6), X.dtype), jnp.arange(nch)
             )
+            S = R(S)
             S = S.at[jnp.arange(V), jnp.arange(V)].add(dHcc)
             Sfull = S.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
             # focal border
@@ -363,6 +369,7 @@ def bundle_adjust(
         _, cost1 = _robust_weights(
             q_new, t_new, params_new, X_new, obs, loss_scale, use_soft_l1, pm
         )
+        cost1 = R(cost1)
         accept = cost1 < cost0
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
@@ -378,7 +385,16 @@ def bundle_adjust(
         length=max_iterations,
     )
     _, final_cost = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1, pm)
-    return BAState(q=q, t=t, X=X, params=params, cost=final_cost, lam=lam)
+    return BAState(q=q, t=t, X=X, params=params, cost=R(final_cost), lam=lam)
+
+
+bundle_adjust = partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "pcg_iters", "use_soft_l1", "refine_focal", "solver"
+    ),
+)(partial(_bundle_adjust_impl, reduce_fn=None))
+bundle_adjust.__doc__ = _bundle_adjust_impl.__doc__
 
 
 @partial(jax.jit, static_argnames=())

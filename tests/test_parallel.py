@@ -99,3 +99,41 @@ def test_bundle_adjust_sharded_over_mesh(mesh):
     X_sh, cost_sh = run(obs_sharded)
     assert abs(cost_sh - cost_ref) / max(cost_ref, 1e-9) < 1e-3
     np.testing.assert_allclose(X_sh, X_ref, atol=1e-3)
+
+
+def test_shard_map_bundle_adjust_matches_plain(mesh):
+    """Explicit shard_map BA (device-local point elimination + psum'd camera
+    system, parallel/sharded_ba.py) matches plain bundle_adjust. N=65 also
+    exercises the pad-to-device-multiple path (padded tracks contribute 0)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import orbit_scene
+    from particlesfm_tpu.globalsfm import bundle_adjust, triangulate_tracks
+    from particlesfm_tpu.globalsfm.ba import default_free_masks
+    from particlesfm_tpu.globalsfm.tracks3d import TrackObs
+    from particlesfm_tpu.parallel.sharded_ba import sharded_bundle_adjust
+
+    sc = orbit_scene(num_views=8, num_points=65, pixel_noise=0.3, seed=3)
+    N, K = 65, 8
+    fidx = np.zeros((N, K), np.int32)
+    uv = np.zeros((N, K, 2), np.float32)
+    m = np.zeros((N, K), bool)
+    for n in range(N):
+        views = np.nonzero(sc["vis"][:, n])[0][:K]
+        fidx[n, : len(views)] = views
+        uv[n, : len(views)] = sc["uv"][views, n]
+        m[n, : len(views)] = True
+    q = jnp.asarray(sc["q"]); t = jnp.asarray(sc["t"]); params = jnp.asarray(sc["params"])
+    obs = TrackObs(jnp.asarray(fidx), jnp.asarray(uv), jnp.asarray(m))
+    X0 = triangulate_tracks(q, t, params, obs)
+    fm = default_free_masks(8)
+    pm = jnp.ones(N, jnp.float32)
+
+    ref = bundle_adjust(q, t, params, X0, obs, fm, pm, max_iterations=5)
+    sh = sharded_bundle_adjust(mesh, q, t, params, X0, obs, fm, pm,
+                               max_iterations=5)
+    assert abs(float(sh.cost) - float(ref.cost)) / max(float(ref.cost), 1e-9) < 1e-3
+    np.testing.assert_allclose(np.asarray(sh.q), np.asarray(ref.q), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sh.t), np.asarray(ref.t), atol=1e-3)
+    assert sh.X.shape == (N, 3)
+    np.testing.assert_allclose(np.asarray(sh.X), np.asarray(ref.X), atol=1e-3)
