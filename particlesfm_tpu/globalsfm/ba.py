@@ -92,6 +92,10 @@ def _robust_weights(q, t, params, X, obs: TrackObs, loss_scale, use_soft_l1: boo
     u = fx * x_cam[..., 0] / z_safe + cx
     v = fy * x_cam[..., 1] / z_safe + cy
     r2 = (u - obs.uv[..., 0]) ** 2 + (v - obs.uv[..., 1]) ** 2
+    # non-finite residuals (overflowed projections of junk points) would turn
+    # the masked cost sum into NaN (inf * 0-weight); clamp to a huge finite
+    # value so soft-L1 just assigns them ~zero weight
+    r2 = jnp.nan_to_num(r2, nan=1e20, posinf=1e20)
     m = obs.mask.astype(r2.dtype)
     if pm is not None:
         m = m * pm

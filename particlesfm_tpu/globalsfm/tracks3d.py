@@ -40,11 +40,17 @@ def triangulate_tracks(
     params: jnp.ndarray,     # [5] shared canonical intrinsics row (fx,fy,cx,cy,k)
     obs: TrackObs,
 ) -> jnp.ndarray:
-    """Masked multiview DLT for every track at once. Returns X [N, 3]."""
+    """Masked multiview DLT for every track at once. Returns X [N, 3].
+
+    Degenerate tracks (parallel rays, all-masked) can yield non-finite DLT
+    solutions; they are snapped to the origin sentinel so downstream reduction
+    sums stay finite (NaN x zero-weight is still NaN) — the reprojection-error
+    gates then discard them the ordinary way."""
     P = se3.pose_to_matrix(q, t)                  # [V, 3, 4]
     proj = P[obs.frame_idx]                       # [N, K, 3, 4]
     xy = cameras.img_to_cam(params, obs.uv)       # normalized coords
-    return triangulation.triangulate_dlt(proj, xy, obs.mask.astype(xy.dtype))
+    X = triangulation.triangulate_dlt(proj, xy, obs.mask.astype(xy.dtype))
+    return jnp.where(jnp.all(jnp.isfinite(X), axis=-1, keepdims=True), X, 0.0)
 
 
 @partial(jax.jit, static_argnames=())

@@ -33,6 +33,20 @@ def cut_windows(num_frames: int, window_size: int) -> List[np.ndarray]:
     return [np.arange(s, s + window_size) for s in starts]
 
 
+def _run_windows(apply_fn, traj, depth, valid, mesh):
+    """One batched forward over [B, K, L] (window axis mesh-sharded if given)."""
+    if mesh is not None:
+        from ..parallel.mesh import shard_frames
+
+        dtraj, _ = shard_frames(traj, mesh)
+        ddepth, _ = shard_frames(depth, mesh)
+        dvalid, nb = shard_frames(valid, mesh)
+        return np.asarray(apply_fn(dtraj, ddepth, dvalid))[:nb]
+    return np.asarray(
+        apply_fn(jnp.asarray(traj), jnp.asarray(depth), jnp.asarray(valid))
+    )
+
+
 def segment_tracks(
     apply_fn: Callable,
     tracks: TrackArrays,
@@ -44,6 +58,7 @@ def segment_tracks(
     threshold: float = 0.5,
     seed: int = 0,
     mesh=None,
+    max_cells: int = 65536,        # max windows x tracks per device call
 ) -> TrackArrays:
     """Label every track observation as static (0) / dynamic (1).
 
@@ -80,17 +95,25 @@ def segment_tracks(
         valid[b, :k] = present
     depth = depth_maps[np.stack(wins)]                       # [B, L, h, w]
 
-    if mesh is not None:
-        from ..parallel.mesh import shard_frames
-
-        dtraj, _ = shard_frames(traj, mesh)
-        ddepth, _ = shard_frames(depth, mesh)
-        dvalid, nb = shard_frames(valid, mesh)
-        logits = np.asarray(apply_fn(dtraj, ddepth, dvalid))[:nb]
+    # OANet activations cost ~64 KB of HBM per trajectory slot; a protocol-
+    # scale call (5 windows x 100k tracks) would demand ~32 GB. Chunk the
+    # track axis to bound peak memory: the order-aware context (diff_pool soft
+    # clusters) is computed per chunk, statistically equivalent for any
+    # multi-thousand-track sample. Chunks are padded to one shape (one compile).
+    chunk = max(1024, max_cells // max(B, 1))
+    if kmax > chunk:
+        nch = -(-kmax // chunk)
+        pad_k = nch * chunk - kmax
+        traj = np.pad(traj, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        valid = np.pad(valid, ((0, 0), (0, pad_k), (0, 0)))
+        parts = []
+        for c in range(nch):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            parts.append(_run_windows(apply_fn, traj[:, sl], depth, valid[:, sl],
+                                      mesh))
+        logits = np.concatenate(parts, axis=1)[:, :kmax]
     else:
-        logits = np.asarray(
-            apply_fn(jnp.asarray(traj), jnp.asarray(depth), jnp.asarray(valid))
-        )
+        logits = _run_windows(apply_fn, traj, depth, valid, mesh)
     dyn_all = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))) > threshold  # [B, kmax]
 
     for b, (locs, present, rows) in enumerate(samples):

@@ -524,6 +524,14 @@ def _refine_and_finish(
     obs, obs_t, q_est, t_est, V, N, log,
 ):
     """Shared tail: triangulation + two-phase iterative refinement + packing."""
+    import os
+    if os.environ.get("PSFM_DUMP_REFINE"):
+        np.savez_compressed(
+            os.environ["PSFM_DUMP_REFINE"],
+            frame_idx=np.asarray(obs.frame_idx), uv=np.asarray(obs.uv),
+            mask=np.asarray(obs.mask), q=np.asarray(q_est),
+            t=np.asarray(t_est), params=np.asarray(params),
+        )
     # ---- triangulation + iterative refinement -----------------------------
     jparams = jnp.asarray(params)
     X = triangulate_tracks(q_est, t_est, jparams, obs)
@@ -534,6 +542,22 @@ def _refine_and_finish(
         8.0 * cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
     )
     log(f"[mapper] initial triangulation: {int(valid.sum())}/{N} valid tracks")
+
+    # TPU memory tiling pads the [N,K,6,6]-class BA block tensors 28x, so the
+    # LM loop runs on a capped, quality-ranked track subset at protocol scale
+    # (pose accuracy saturates long before the cap); the FULL set is
+    # re-triangulated and gated against the final poses below.
+    obs_full = obs
+    subsampled = N > cfg.ba.max_tracks
+    if subsampled:
+        nobs = np.asarray(obs.mask.sum(axis=1))
+        score = np.asarray(valid).astype(np.int64) * 1000 + nobs
+        sel = np.sort(np.argpartition(-score, cfg.ba.max_tracks)[: cfg.ba.max_tracks])
+        obs = TrackObs(obs.frame_idx[sel], obs.uv[sel], obs.mask[sel])
+        X = X[sel]
+        good = good[sel]
+        valid = valid[sel]
+        log(f"[mapper] BA refinement on {cfg.ba.max_tracks}/{N} ranked tracks")
 
     q_cur, t_cur = q_est, t_est
     for phase, refine_rot in ((0, False), (1, True)):
@@ -558,7 +582,12 @@ def _refine_and_finish(
             _, _, errs_now = filter_observations(
                 q_cur, t_cur, jparams, X, obs, 1e9, 0.0
             )
-            med = float(jnp.median(jnp.where(obs.mask, errs_now, jnp.nan)[obs.mask]))
+            # nanmedian: degenerate triangulations yield NaN errors inside the
+            # mask (seen at 229k-track protocol scale); a plain median would
+            # poison the threshold and collapse the reconstruction
+            med = float(jnp.nanmedian(jnp.where(obs.mask, errs_now, jnp.nan)[obs.mask]))
+            if not np.isfinite(med):
+                med = cfg.ba.filter_max_reproj_error_px
             # annealed gate: adaptive (up to 8x) while the focal/geometry is
             # still settling in phase 0, strict in the late joint rounds —
             # a permanently adaptive threshold balloons on contaminated scenes
@@ -580,10 +609,21 @@ def _refine_and_finish(
                 break
             prev_frac = frac
 
-    _, _, errs = filter_observations(
-        q_cur, t_cur, jparams, X, obs,
-        cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
-    )
+    if subsampled:
+        # bring every track back in against the final geometry: triangulate the
+        # full set and gate it with the loop's final threshold
+        obs = obs_full
+        X = triangulate_tracks(q_cur, t_cur, jparams, obs)
+        good, valid, errs = filter_observations(
+            q_cur, t_cur, jparams, X, obs, thr, cfg.ba.filter_min_tri_angle_deg,
+        )
+        log(f"[mapper] full-set retriangulation: {int(valid.sum())}/{N} valid "
+            f"tracks at thr {thr:.2f}px")
+    else:
+        _, _, errs = filter_observations(
+            q_cur, t_cur, jparams, X, obs,
+            cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
+        )
 
     # ---- expand back to full image indexing -------------------------------
     qvec = np.tile(np.array([1.0, 0, 0, 0], np.float32), (num_images, 1))

@@ -119,6 +119,13 @@ class BundleAdjustmentConfig:
     refine_extra_params: bool = True
     filter_max_reproj_error_px: float = 4.0
     filter_min_tri_angle_deg: float = 1.5
+    # cap on tracks inside the LM refinement loop. TPU memory tiling pads the
+    # trailing dims of the [N, K, 6, 6]-class block tensors to (8, 128) — 28x —
+    # so a protocol-scale problem (227k tracks) would demand ~19 GB per buffer.
+    # Pose/focal accuracy saturates far below this cap for <=few-hundred-camera
+    # scenes; the FULL track set is re-triangulated and gated against the final
+    # poses after the loop, so the reconstruction still carries every track.
+    max_tracks: int = 32768
 
 
 @dataclass

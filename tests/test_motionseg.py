@@ -95,6 +95,29 @@ def test_segment_tracks_windowing_and_merge():
             assert labeled.labels[n, obs].mean() < 0.5
 
 
+def test_segment_tracks_chunked_matches_unchunked():
+    """Track-axis chunking (HBM bound at protocol scale: 5 windows x 100k
+    tracks would demand ~32 GB unchunked) must reproduce the one-call labels
+    for a per-trajectory-independent classifier."""
+    rng = np.random.default_rng(3)
+    N, T, H, W = 64, 12, 16, 24
+    xy = rng.uniform(0, [W, H], (N, T, 2)).astype(np.float32)
+    mask = np.ones((N, T), bool)
+    tracks = TrackArrays(xy=xy, mask=mask)
+
+    def fake_apply(traj, depth, valid):
+        first = jnp.sum(jnp.where(valid[..., None], traj, 0), axis=2) / jnp.maximum(
+            jnp.sum(valid, 2, keepdims=True), 1
+        )
+        return jnp.where(first[..., 0] > 0.5, 10.0, -10.0)
+
+    depth = np.zeros((T, H, W), np.float32)
+    ref = segment_tracks(fake_apply, tracks, depth, (H, W), window_size=10)
+    chunked = segment_tracks(fake_apply, tracks, depth, (H, W), window_size=10,
+                             max_cells=32)  # forces many small chunks + padding
+    np.testing.assert_array_equal(chunked.labels, ref.labels)
+
+
 def test_reference_dict_roundtrip_with_labels():
     rng = np.random.default_rng(2)
     xy = rng.uniform(0, 100, (5, 8, 2)).astype(np.float32)
