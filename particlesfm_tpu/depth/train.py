@@ -32,6 +32,7 @@ def _gen_scene_frames(args):
         num_dynamic=int(rng.integers(0, 3)),
         motion_scale=float(rng.uniform(0.2, 0.6)),
         rot_scale=float(rng.uniform(0.3, 1.0)),
+        num_static_obj=int(rng.integers(2, 8)),
     )
     out = []
     for t in range(frames):

@@ -55,6 +55,9 @@ def _gen_scene_pairs(args):
         motion_scale=float(rng.uniform(*spec.motion_scale)),
         rot_scale=float(rng.uniform(*spec.rot_scale)),
         principal=(sw / 2.0 - ox, sh / 2.0 - oy),
+        # match the acceptance scenes' depth-contrast statistics (static
+        # foreground objects produce the near-field large-flow population)
+        num_static_obj=int(rng.integers(0, 4)),
     )
     imgs = [sc.render(t) for t in range(spec.frames)]
     pairs = []

@@ -290,9 +290,12 @@ class Scene:
         return ((inv - lo) / max(hi - lo, 1e-12)).astype(np.float32)
 
     def gt_dynamic(self, view):
-        """[H, W] bool — pixels on a moving object."""
+        """[H, W] bool — pixels on a MOVING object (static spheres excluded)."""
         _, idx, _ = self.hit_points(view)
-        return idx >= 0
+        moving = np.array(
+            [bool(np.any(sp.vel != 0)) for sp in self.spheres] + [False]
+        )
+        return moving[idx]
 
     def intrinsics_matrix(self):
         fx, fy, cx, cy = self.K
@@ -313,6 +316,7 @@ def random_scene(
     rot_scale=1.0,
     cam_height=5.0,
     principal=None,
+    num_static_obj=0,
 ):
     """Sample a full scene. Texture frequencies adapt to the pixel footprint so
     images are matchable at the rendered resolution (feature size ~3-12 px).
@@ -334,6 +338,26 @@ def random_scene(
     )
     spheres, stexs = [], []
     span = 0.30 * motion_scale * num_views
+    # static foreground objects: spheres lifted off the surface at varied
+    # heights create real DEPTH CONTRAST (the bumpy surface alone is a
+    # near-plane at +-20% depth, which leaves two-view epipolar geometry
+    # ill-conditioned — the differential-parallax signal that separates
+    # rotation from translation scales with depth contrast; Sintel-class
+    # scenes span ~20x in depth)
+    for _ in range(num_static_obj):
+        r = rng.uniform(0.15, 0.45) * cam_height / 5.0
+        c0 = np.array(
+            [rng.uniform(-0.5, span + 0.5),
+             rng.uniform(-1.8, 1.8) * cam_height / 5.0,
+             # depth floor ~1.6: nearer objects would push per-frame flow past
+             # the trained correlation pyramid's envelope
+             rng.uniform(1.6, 3.6) * cam_height / 5.0]
+        )
+        spheres.append(Sphere(c0, np.zeros(3), r))
+        stexs.append(
+            Texture3D.random(rng, num=8, freq_lo=2 * np.pi / (30 * footprint),
+                             freq_hi=2 * np.pi / (5 * footprint))
+        )
     for _ in range(num_dynamic):
         r = rng.uniform(0.25, 0.7) * motion_scale * cam_height / 5.0
         c0 = np.array(

@@ -69,6 +69,11 @@ def render_sequence(args):
         num_dynamic=int(rng.integers(1, 3)) if dynamic else 0,
         motion_scale=float(rng.uniform(0.06, 0.20)),
         rot_scale=float(rng.uniform(0.08, 0.32)),
+        # static foreground objects give the scenes Sintel-like depth contrast
+        # (the near-planar surface alone leaves two-view geometry
+        # ill-conditioned: rotation/translation separate only through
+        # differential parallax, which scales with depth contrast)
+        num_static_obj=int(rng.integers(6, 13)),
     )
 
     img_dir = seq_dir / "images"
