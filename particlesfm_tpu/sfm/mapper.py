@@ -560,13 +560,23 @@ def _refine_and_finish(
         log(f"[mapper] BA refinement on {cfg.ba.max_tracks}/{N} ranked tracks")
 
     q_cur, t_cur = q_est, t_est
+    # anti-collapse reference scale: gate-then-optimize on a SUBSET of the
+    # observations lets LM "improve" its visible cost by warping scale/geometry
+    # at the invisible observations' expense (measured: camera spread exploded
+    # 0.37 -> 3355 at protocol scale). Two countermeasures, mirroring the
+    # reference: (a) the solve always sees every candidate observation of its
+    # tracks (soft-L1 downweights outliers; the annealed gate below only picks
+    # the valid/export set), (b) the scene is renormalized to the initial
+    # camera spread after every round (reconstruction.cc:373 Normalize()).
+    c0 = np.asarray(se3.camera_center(q_cur, t_cur))
+    target_spread = float(np.linalg.norm(c0 - c0.mean(0), axis=1).mean())
     for phase, refine_rot in ((0, False), (1, True)):
         free = default_free_masks(V, refine_rotation=refine_rot)
         prev_frac = -1.0
         for it in range(cfg.ba.max_refinements):
             state = bundle_adjust(
                 q_cur, t_cur, jparams, X,
-                TrackObs(obs.frame_idx, obs.uv, good),
+                obs,
                 free, valid.astype(jnp.float32),
                 max_iterations=cfg.ba.max_num_iterations,
                 loss_scale=cfg.ba.loss_scale,
@@ -574,6 +584,11 @@ def _refine_and_finish(
                 refine_focal=cfg.ba.refine_focal_length,
             )
             q_cur, t_cur, X, jparams = state.q, state.t, state.X, state.params
+            c = np.asarray(se3.camera_center(q_cur, t_cur))
+            spread = float(np.linalg.norm(c - c.mean(0), axis=1).mean())
+            scale = target_spread / max(spread, 1e-9)
+            t_cur = t_cur * scale
+            X = X * scale
             # retriangulate + complete + filter (one fused pass over all tracks).
             # The gate adapts to the current error level: a hard cut at the final
             # threshold while the focal/geometry is still settling would keep a
