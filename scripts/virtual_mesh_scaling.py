@@ -109,10 +109,15 @@ def main():
     pm = jnp.ones(Nt, jnp.float32)
     fm = default_free_masks(Vc)
 
-    def run_ba(q, t, cam, X0):
-        return bundle_adjust(q, t, cam, X0, obs, fm, pm, max_iterations=5).cost
+    from particlesfm_tpu.parallel.sharded_ba import sharded_bundle_adjust
 
-    out["ba_s"] = time_fn(jax.jit(run_ba), q, t, cam, X0)
+    def run_ba(q, t, cam, X0):
+        # explicit shard_map path: point blocks device-local, camera-system
+        # pieces psum'd (GSPMD alone all-gathers the track tensors)
+        return sharded_bundle_adjust(mesh, q, t, cam, X0, obs, fm, pm,
+                                     max_iterations=5).cost
+
+    out["ba_s"] = time_fn(lambda *a: run_ba(*a), q, t, cam, X0)
 
     Path(args.out).write_text(json.dumps(out))
     print(json.dumps(out))
