@@ -120,7 +120,7 @@ def load_flow_apply_batch(ckpt, iters: int = 12):
     return apply
 
 
-def load_flow_apply_sharded(ckpt, iters: int = 12, mesh=None, per_device: int = 4):
+def load_flow_apply_sharded(ckpt, iters: int = 12, mesh=None, per_device: int = 8):
     """Flow apply over an arbitrary pair list, data-parallel over a device mesh.
 
     Returns `apply(img1s, img2s) -> flows [N, H, W, 2]` that processes pairs in

@@ -87,7 +87,9 @@ def _load_raft_apply(cfg: Config):
         return None
     from ..flow.infer import load_flow_apply_sharded
 
-    return load_flow_apply_sharded(ckpt, iters=cfg.flow.iters)
+    return load_flow_apply_sharded(
+        ckpt, iters=cfg.flow.iters, per_device=cfg.flow.per_device
+    )
 
 
 def _load_depth_apply(cfg: Config):
@@ -118,7 +120,13 @@ def _load_depth_apply(cfg: Config):
     nd = int(np.prod(list(mesh.shape.values())))
     block = 4 * nd
     sharding = data_sharding(mesh, 4)
-    run = jax.jit(jax.vmap(lambda im: model.apply(variables, im, train=False)))
+    def _one(im):
+        # net inference skips the package-global f32-highest matmul precision
+        # (geometry-solver setting); default keeps convs on the MXU fast path
+        with jax.default_matmul_precision("default"):
+            return model.apply(variables, im, train=False)
+
+    run = jax.jit(jax.vmap(_one))
 
     def apply(imgs):
         """Batched (imgs [N, H, W, 3]) -> depths [N, H, W]; frame axis is
@@ -177,7 +185,10 @@ def _load_seg_apply(cfg: Config):
         depth_r = jax.image.resize(
             depth, (depth.shape[0], L, input_hw[0], input_hw[1]), "bilinear"
         )
-        return model.apply(variables, traj, depth_r, valid, train=False)
+        # classifier inference does not need the package-global f32-highest
+        # matmuls (geometry-solver accuracy); default keeps the MXU fast path
+        with jax.default_matmul_precision("default"):
+            return model.apply(variables, traj, depth_r, valid, train=False)
 
     return apply
 

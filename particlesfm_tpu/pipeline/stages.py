@@ -59,6 +59,7 @@ def flow_stage(
         dirs.update({"flow_f2": 2, "flow_b2": -2})
     flow_root = Path(out_dir) / "optical_flows"
     result = {}
+    todo = []                      # (name, stride, dir, npairs) still to compute
     for name, stride in dirs.items():
         d = flow_root / name
         npairs = T - abs(stride)
@@ -77,15 +78,32 @@ def flow_stage(
                 )
             result[name] = stack
             continue
-        if raft_apply is None:
-            raise RuntimeError(
-                f"flow stage: no precomputed flow at {d} and no RAFT weights "
-                "provided (pass --raft_ckpt or precompute flow)"
-            )
-        d.mkdir(parents=True, exist_ok=True)
+        todo.append((name, stride, d, npairs))
+    if not todo:
+        return result
+    if raft_apply is None:
+        raise RuntimeError(
+            f"flow stage: no precomputed flow at {flow_root} and no RAFT "
+            "weights provided (pass --raft_ckpt or precompute flow)"
+        )
+    # ONE batched stream over every direction: the sharded apply processes a
+    # flat pair list in fixed-size device blocks, so fusing the 4 directions
+    # packs full blocks (the reference runs 4 sequential per-pair GPU loops,
+    # run_particlesfm.py:31-36)
+    ia_all, ib_all = [], []
+    for name, stride, d, npairs in todo:
         ia = np.arange(npairs) + (0 if stride > 0 else abs(stride))
         ib = np.arange(npairs) + (abs(stride) if stride > 0 else 0)
-        flows = np.asarray(raft_apply(images[ia], images[ib]))
+        ia_all.append(ia)
+        ib_all.append(ib)
+    flows_all = np.asarray(
+        raft_apply(images[np.concatenate(ia_all)], images[np.concatenate(ib_all)])
+    )
+    off = 0
+    for name, stride, d, npairs in todo:
+        d.mkdir(parents=True, exist_ok=True)
+        flows = flows_all[off:off + npairs]
+        off += npairs
         for i in range(npairs):
             flo_io.write_flo(d / f"{i:06d}.flo", flows[i])
         result[name] = flows

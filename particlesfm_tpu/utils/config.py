@@ -26,6 +26,9 @@ class FlowConfig:
     small: bool = False
     checkpoint: Optional[str] = None
     dtype: str = "bfloat16"
+    # pairs per device per dispatch: big enough to amortize per-dispatch
+    # latency, small enough that the full-res correlation volumes fit HBM
+    per_device: int = 8
 
 
 @dataclass

@@ -96,3 +96,40 @@ def test_synthetic_benchmark_smoke(tmp_path):
     assert rc == 0
     report = (tmp_path / "seqs" / "errors_ate.txt").read_text()
     assert "MEAN" in report and "failures 0/2" in report
+
+
+def test_flow_stage_single_stream(tmp_path):
+    """All four direction streams go through ONE batched raft_apply call and
+    split back into per-direction .flo dirs with correct pair indexing."""
+    from particlesfm_tpu.pipeline import stages
+    from particlesfm_tpu.pipeline.run import build_arg_parser, config_from_args
+
+    T, H, W = 5, 16, 24
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, (T, H, W, 3)).astype(np.float32)
+    calls = []
+
+    def fake_raft(i1, i2):
+        calls.append((np.asarray(i1).copy(), np.asarray(i2).copy()))
+        # encode (mean_i1 - mean_i2) so each pair's flow is identifiable
+        d = i1.mean(axis=(1, 2, 3)) - i2.mean(axis=(1, 2, 3))
+        return np.tile(d[:, None, None, None], (1, H, W, 2)).astype(np.float32)
+
+    args = build_arg_parser().parse_args(
+        ["--image_dir", "x", "--output_dir", str(tmp_path)])
+    cfg = config_from_args(args)
+    flows = stages.flow_stage(images, tmp_path, cfg, fake_raft, log=lambda *a: None)
+
+    assert len(calls) == 1                       # one fused stream
+    assert calls[0][0].shape[0] == (T - 1) * 2 + (T - 2) * 2
+    for name, stride in (("flow_f", 1), ("flow_b", -1), ("flow_f2", 2), ("flow_b2", -2)):
+        npairs = T - abs(stride)
+        assert flows[name].shape == (npairs, H, W, 2)
+        for i in range(npairs):
+            a = i if stride > 0 else i + abs(stride)
+            b = i + abs(stride) if stride > 0 else i
+            want = images[a].mean() - images[b].mean()
+            np.testing.assert_allclose(flows[name][i, 0, 0, 0], want, rtol=1e-5)
+            on_disk = flo_io.read_flo(
+                tmp_path / "optical_flows" / name / f"{i:06d}.flo")
+            np.testing.assert_allclose(on_disk[0, 0, 0], want, rtol=1e-5)
