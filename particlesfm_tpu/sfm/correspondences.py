@@ -156,6 +156,26 @@ def gather_triplet_points(
     return uv_i, uv_j, uv_k, out
 
 
+def track_inlier_stats(
+    num_tracks: int,
+    pair_t: PairTensors,
+    verified: np.ndarray,        # [E] bool — pairs that passed verification
+    inliers: np.ndarray,         # [E, M] bool — two-view RANSAC inlier masks
+) -> tuple:
+    """Per-track epipolar-consistency vote counts over verified pairs.
+
+    Returns (good, total) int64 [num_tracks]: how many pair-correspondences of
+    each track were RANSAC inliers vs how many were sampled at all."""
+    ti = pair_t.track_idx[verified]
+    pm = pair_t.mask[verified] & (ti >= 0)
+    inl = np.asarray(inliers)[verified] & pm
+    total = np.zeros(num_tracks, np.int64)
+    good = np.zeros(num_tracks, np.int64)
+    np.add.at(total, ti[pm], 1)
+    np.add.at(good, ti[inl], 1)
+    return good, total
+
+
 def geometric_dynamic_track_filter(
     num_tracks: int,
     pair_t: PairTensors,
@@ -173,13 +193,7 @@ def geometric_dynamic_track_filter(
     the learned motion segmentation (the reference has no geometric filter — it
     relies entirely on its trained network).
     """
-    ti = pair_t.track_idx[verified]
-    pm = pair_t.mask[verified] & (ti >= 0)
-    inl = np.asarray(inliers)[verified] & pm
-    total = np.zeros(num_tracks, np.int64)
-    good = np.zeros(num_tracks, np.int64)
-    np.add.at(total, ti[pm], 1)
-    np.add.at(good, ti[inl], 1)
+    good, total = track_inlier_stats(num_tracks, pair_t, verified, inliers)
     rate = good / np.maximum(total, 1)
     return (total >= min_samples) & (rate < max_inlier_rate)
 

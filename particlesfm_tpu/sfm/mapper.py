@@ -160,7 +160,18 @@ def _run_global_mapper_once(
     focal = float(params[0])
 
     # ---- correspondences -------------------------------------------------
-    static_mask = static_observation_mask(tracks, cfg.remove_dynamic)
+    # seg-geometry gate: when labels are present, defer their exclusions until
+    # attempt-0 two-view verification supplies per-track epipolar evidence —
+    # seg-flagged tracks that geometry attests are static get rescued below
+    seg_dyn_obs = None
+    if cfg.remove_dynamic and cfg.seg_geometry_gate and tracks.labels is not None:
+        seg_dyn_obs = (tracks.labels != 0) & tracks.mask
+        if not seg_dyn_obs.any():
+            seg_dyn_obs = None
+    if seg_dyn_obs is not None:
+        static_mask = tracks.mask.copy()
+    else:
+        static_mask = static_observation_mask(tracks, cfg.remove_dynamic)
     pair_t = build_pair_tensors(
         tracks, static_mask, cfg.min_num_matches, seed=cfg.seed
     )
@@ -198,8 +209,33 @@ def _run_global_mapper_once(
         log(f"[mapper] geometric verification kept {verified.sum()}/{len(verified)} pairs")
         if verified.sum() < 3:
             return _failed(num_images, params, height, width)
-        if attempt > 0 or not (cfg.geometric_dynamic_filter or cfg.two_model_ransac):
+        if attempt > 0 or not (cfg.geometric_dynamic_filter or cfg.two_model_ransac
+                               or seg_dyn_obs is not None):
             break
+
+        # seg-label integration (per-observation, matches_from_flow.py:76-79
+        # semantics) gated on geometric evidence: a seg-flagged track whose
+        # sampled correspondences were epipolar inliers in >= rescue_rate of
+        # enough verified pairs keeps its observations
+        seg_remove = None
+        if seg_dyn_obs is not None:
+            from .correspondences import track_inlier_stats
+
+            good_v, total_v = track_inlier_stats(
+                tracks.num_tracks, pair_t, verified, np.asarray(tv.inliers))
+            rate = good_v / np.maximum(total_v, 1)
+            rescued = (total_v >= cfg.seg_rescue_min_samples) & (
+                rate >= cfg.seg_rescue_inlier_rate)
+            cand = seg_dyn_obs & ~rescued[:, None]
+            nseg = int(seg_dyn_obs.any(axis=1).sum())
+            nresc = int((seg_dyn_obs.any(axis=1) & rescued).sum())
+            frac = cand.sum() / max(tracks.mask.sum(), 1)
+            log(f"[mapper] seg-geometry gate: {nseg} seg-flagged tracks, "
+                f"{nresc} rescued by epipolar consistency")
+            if frac <= 0.6:  # over-trigger guard (static_observation_mask parity)
+                seg_remove = cand
+            else:
+                log(f"[mapper] seg labels over-trigger ({frac:.2f} of obs); ignored")
 
         dyn = np.zeros(tracks.num_tracks, bool)
         if cfg.geometric_dynamic_filter:
@@ -233,13 +269,21 @@ def _run_global_mapper_once(
             if dyn2.any():
                 log(f"[mapper] two-model clustering flagged {int(dyn2.sum())} tracks")
             dyn |= dyn2
-        if not dyn.any():
+        if not dyn.any() and (seg_remove is None or not seg_remove.any()):
             break
-        log(f"[mapper] geometric dynamic filters flagged {int(dyn.sum())} tracks; "
-            "re-estimating pairwise geometry without them")
-        static_mask = static_mask & ~dyn[:, None]
+        if dyn.any():
+            log(f"[mapper] geometric dynamic filters flagged {int(dyn.sum())} "
+                "tracks; re-estimating pairwise geometry without them")
+            static_mask = static_mask & ~dyn[:, None]
         ti = pair_t.track_idx
-        pmask = pmask & ~(dyn[np.clip(ti, 0, None)] & (ti >= 0))
+        tic = np.clip(ti, 0, None)
+        pmask = pmask & ~(dyn[tic] & (ti >= 0))
+        if seg_remove is not None and seg_remove.any():
+            static_mask = static_mask & ~seg_remove
+            # kill pair correspondences whose endpoint observation was removed
+            rm = (seg_remove[tic, pair_t.pairs[:, None, 0]]
+                  | seg_remove[tic, pair_t.pairs[:, None, 1]]) & (ti >= 0)
+            pmask = pmask & ~rm
 
     # ---- degenerate-configuration classification (two_view_geometry.h:48-67):
     # planar pairs get their pose from the homography decomposition (the

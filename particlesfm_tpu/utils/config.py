@@ -142,6 +142,17 @@ class SfmConfig:
     min_num_matches: int = 15
     sample_k: int = 20                   # matches per track (matches_from_flow.py:53)
     remove_dynamic: bool = True
+    # seg-label geometry gate: segmentation labels are advisory, not binding —
+    # a seg-flagged track whose correspondences are epipolar-consistent inliers
+    # across many verified pairs is rescued (kept static). The net can
+    # over-trigger on out-of-domain sequences (measured precision ~0.09 on
+    # protocol-scale tracker tracks, where ungated labels cost ATE 0.43 vs
+    # 0.16 without labels); geometry has direct per-track evidence and
+    # overrides it. Movers geometry cannot see (epipolar-degenerate motion)
+    # keep their low inlier rates only in some pairs and are still removed.
+    seg_geometry_gate: bool = True
+    seg_rescue_inlier_rate: float = 0.9
+    seg_rescue_min_samples: int = 6
     geometric_verification_max_error_px: float = 4.0
     geometric_verification_min_inlier_ratio: float = 0.1
     geometric_verification_min_num_inliers: int = 15

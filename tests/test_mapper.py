@@ -130,3 +130,66 @@ def test_linear_position_method():
     ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
     span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
     assert ate < 0.01 * span, f"linear-method ATE {ate} vs span {span}"
+
+
+def test_seg_geometry_gate_rescues_false_labels():
+    """Noisy seg labels (false dynamic flags on static tracks) must not starve
+    the solve: the epipolar-consistency gate rescues them. Measured motivation:
+    at protocol scale the ungated labels cost ATE 0.43 vs 0.16 without."""
+    sc = orbit_scene(num_views=10, num_points=300, pixel_noise=0.3, seed=7)
+    tracks = sc["tracks"]
+    rng = np.random.default_rng(0)
+    labels = np.zeros(tracks.mask.shape, np.int8)
+    flagged = rng.random(tracks.num_tracks) < 0.4   # 40% falsely dynamic
+    labels[flagged] = 1
+    from particlesfm_tpu.tracks.store import TrackArrays
+
+    noisy = TrackArrays(xy=tracks.xy, mask=tracks.mask, labels=labels)
+    logs = []
+    cfg = SfmConfig()
+    rec = run_global_mapper(noisy, sc["height"], sc["width"], cfg,
+                            log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert rec.num_registered == 10
+    assert any("rescued by epipolar consistency" in l for l in logs)
+    import jax.numpy as jnp
+    c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec)))
+    ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
+    span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+    assert ate < 0.01 * span, f"gated ATE {ate} vs span {span}"
+    # the rescued tracks must actually be back in the model (ungated behavior
+    # would drop ~40% of the structure)
+    assert rec.track_valid.sum() > 0.8 * tracks.num_tracks
+
+
+def test_seg_geometry_gate_keeps_true_dynamic_exclusions():
+    """Correct seg labels on epipolar-inconsistent (moving) tracks are honored:
+    the rescue requires geometric consistency, which real movers fail."""
+    sc = orbit_scene(num_views=10, num_points=260, pixel_noise=0.3, seed=8)
+    tracks = sc["tracks"]
+    rng = np.random.default_rng(1)
+    # last 40 tracks: replace with an independently moving point cluster
+    # (coherent drift across the image — epipolar-inconsistent)
+    xy = tracks.xy.copy()
+    nd = 40
+    drift = rng.uniform(4.0, 9.0, (nd, 1, 2)).astype(np.float32)
+    base = rng.uniform([100, 100], [400, 300], (nd, 1, 2)).astype(np.float32)
+    steps = np.arange(tracks.num_frames, dtype=np.float32)[None, :, None]
+    xy[-nd:] = base + drift * steps
+    labels = np.zeros(tracks.mask.shape, np.int8)
+    labels[-nd:] = 1
+    from particlesfm_tpu.tracks.store import TrackArrays
+
+    dyn_tracks = TrackArrays(xy=xy, mask=tracks.mask, labels=labels)
+    cfg = SfmConfig()
+    rec = run_global_mapper(dyn_tracks, sc["height"], sc["width"], cfg,
+                            log=lambda *_: None)
+    assert rec.num_registered == 10
+    import jax.numpy as jnp
+    c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec), jnp.asarray(rec.tvec)))
+    ate = alignment.ate_rmse(c_est[rec.registered], sc["centers"][rec.registered])
+    span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+    assert ate < 0.01 * span, f"ATE {ate} vs span {span} with movers present"
+    # the mover tracks must not survive as valid structure
+    mover_rows = np.isin(rec.track_row, np.arange(tracks.num_tracks - nd,
+                                                  tracks.num_tracks))
+    assert not rec.track_valid[mover_rows].any()
