@@ -61,7 +61,17 @@ def run_incremental_mapper(
         params = np.asarray(cameras.make_default_params(height, width), np.float32)
     num_images = tracks.num_frames
 
-    static_mask = static_observation_mask(tracks, cfg.remove_dynamic)
+    # seg-geometry gate (see mapper.py): labels are advisory; exclusions wait
+    # for epipolar evidence from the verified pairs below
+    seg_dyn_obs = None
+    if cfg.remove_dynamic and cfg.seg_geometry_gate and tracks.labels is not None:
+        seg_dyn_obs = (tracks.labels != 0) & tracks.mask
+        if not seg_dyn_obs.any():
+            seg_dyn_obs = None
+    if seg_dyn_obs is not None:
+        static_mask = tracks.mask.copy()
+    else:
+        static_mask = static_observation_mask(tracks, cfg.remove_dynamic)
     pair_t = build_pair_tensors(tracks, static_mask, cfg.min_num_matches, seed=cfg.seed)
     if len(pair_t.pairs) < 1:
         return _failed(num_images, params, height, width)
@@ -83,10 +93,24 @@ def run_incremental_mapper(
         jnp.asarray(thres_sq),
     )
     num_inl = np.asarray(tv.num_inliers)
+    verified_pairs = num_inl >= cfg.geometric_verification_min_num_inliers
+    if seg_dyn_obs is not None:
+        from .correspondences import track_inlier_stats
+
+        good_v, total_v = track_inlier_stats(
+            tracks.num_tracks, pair_t, verified_pairs, np.asarray(tv.inliers))
+        rate = good_v / np.maximum(total_v, 1)
+        rescued = (total_v >= cfg.seg_rescue_min_samples) & (
+            rate >= cfg.seg_rescue_inlier_rate)
+        cand = seg_dyn_obs & ~rescued[:, None]
+        log(f"[incremental] seg-geometry gate: "
+            f"{int(seg_dyn_obs.any(axis=1).sum())} seg-flagged tracks, "
+            f"{int((seg_dyn_obs.any(axis=1) & rescued).sum())} rescued")
+        if cand.sum() / max(tracks.mask.sum(), 1) <= 0.6:
+            static_mask = static_mask & ~cand
     if cfg.geometric_dynamic_filter:
         from .correspondences import geometric_dynamic_track_filter
 
-        verified_pairs = num_inl >= cfg.geometric_verification_min_num_inliers
         dyn = geometric_dynamic_track_filter(
             tracks.num_tracks, pair_t, verified_pairs, np.asarray(tv.inliers),
             cfg.geometric_dynamic_max_inlier_rate,

@@ -51,6 +51,13 @@ def main(argv=None):
                     help="JSON summary path (default <out_dir>/summary.json)")
     args = ap.parse_args(argv)
 
+    import jax
+
+    # the 13 sequences share shapes: only the first pays tunnel compile cost,
+    # and the persistent cache carries it across runs (same setup as bench.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from particlesfm_tpu.eval import sintel as eval_sintel
     from particlesfm_tpu.pipeline.run import (build_arg_parser, config_from_args,
                                               run_pipeline)
