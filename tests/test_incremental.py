@@ -46,3 +46,28 @@ class TestIncrementalMapper:
         span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
         assert ate < 0.02 * span, f"incremental ATE {ate} vs span {span}"
         assert rec.track_valid.sum() > 150
+
+    def test_seg_geometry_gate(self):
+        """Noisy seg labels (false dynamic flags) are advisory in the
+        incremental mapper too: epipolar evidence rescues static tracks."""
+        sc = orbit_scene(num_views=8, num_points=260, pixel_noise=0.3, seed=11)
+        tracks = sc["tracks"]
+        rng = np.random.default_rng(2)
+        labels = np.zeros(tracks.mask.shape, np.int8)
+        labels[rng.random(tracks.num_tracks) < 0.4] = 1
+        from particlesfm_tpu.tracks.store import TrackArrays
+
+        noisy = TrackArrays(xy=tracks.xy, mask=tracks.mask, labels=labels)
+        logs = []
+        rec = run_incremental_mapper(
+            noisy, sc["height"], sc["width"], SfmConfig(),
+            log=lambda *a: logs.append(" ".join(map(str, a))))
+        assert rec.num_registered == 8
+        assert any("seg-geometry gate" in l for l in logs)
+        c_est = np.asarray(se3.camera_center(jnp.asarray(rec.qvec),
+                                             jnp.asarray(rec.tvec)))
+        ate = alignment.ate_rmse(c_est[rec.registered],
+                                 sc["centers"][rec.registered])
+        span = np.linalg.norm(sc["centers"][-1] - sc["centers"][0])
+        assert ate < 0.02 * span, f"gated incremental ATE {ate} vs span {span}"
+        assert rec.track_valid.sum() > 0.8 * tracks.num_tracks
