@@ -90,15 +90,18 @@ def load_flow_apply(ckpt, iters: int = 12):
     return apply
 
 
-def load_flow_apply_batch(ckpt, iters: int = 12):
+def load_flow_apply_batch(ckpt, iters=None):
     """Batched `apply(img1s, img2s) -> flows [B, H, W, 2]` (vmapped over pairs;
-    under a pjit mesh the leading pair axis shards data-parallel)."""
+    under a pjit mesh the leading pair axis shards data-parallel).
+
+    iters=None uses the GRU-iteration count recorded in the checkpoint meta
+    (the count the net was validated at); an explicit int always wins."""
     import jax
     import jax.numpy as jnp
 
     params, meta = load_flow_checkpoint(ckpt)
     model = model_from_meta(meta)
-    n_iters = int(meta.get("iters", iters))
+    n_iters = int(iters) if iters is not None else int(meta.get("iters", 12))
 
     def _one(img1, img2):
         with jax.default_matmul_precision("default"):
@@ -120,7 +123,7 @@ def load_flow_apply_batch(ckpt, iters: int = 12):
     return apply
 
 
-def load_flow_apply_sharded(ckpt, iters: int = 12, mesh=None, per_device: int = 8):
+def load_flow_apply_sharded(ckpt, iters=None, mesh=None, per_device: int = 8):
     """Flow apply over an arbitrary pair list, data-parallel over a device mesh.
 
     Returns `apply(img1s, img2s) -> flows [N, H, W, 2]` that processes pairs in

@@ -51,6 +51,44 @@ def flow_check(flows_f: jnp.ndarray, flows_b: jnp.ndarray, thres: float):
     return jax.vmap(lambda f, b: occlusion_mask(f, b, thres))(flows_f, flows_b)
 
 
+def compose_flow(flow_ab: jnp.ndarray, flow_bc: jnp.ndarray):
+    """Chain two flow fields: out(p) = flow_ab(p) + flow_bc(p + flow_ab(p)).
+
+    Returns (composed [H,W,2], valid [H,W] bool) — valid is False where the
+    intermediate lookup left the image (the composition is undefined there).
+    """
+    H, W, _ = flow_ab.shape
+    mid = grid_coords(H, W, flow_ab.dtype) + flow_ab
+    valid = (
+        (mid[..., 0] >= 0) & (mid[..., 0] <= W - 1)
+        & (mid[..., 1] >= 0) & (mid[..., 1] <= H - 1)
+    )
+    return flow_ab + bilinear_sample(flow_bc, mid), valid
+
+
+def stride2_compose_fallback(
+    flow2: jnp.ndarray,            # [N, H, W, 2] net stride-2 flow (pair i: i -> i+2)
+    flow1_a: jnp.ndarray,          # [N, H, W, 2] stride-1 first hop  (i -> i+1)
+    flow1_b: jnp.ndarray,          # [N, H, W, 2] stride-1 second hop (i+1 -> i+2)
+    disagree_px: float = 4.0,
+):
+    """Replace net stride-2 flow with the stride-1 composition where they
+    disagree by more than `disagree_px`.
+
+    Motivation (measured on the protocol-scale acceptance set): the compact
+    flow net's stride-2 error is bimodal — ~0.5 px median but 17-20 px on
+    pairs whose true displacement exceeds its trained motion range (~44 px),
+    while the composition of two stride-1 fields stays at ~1-1.6 px
+    everywhere. Where both agree the (slightly sharper) net field is kept;
+    large disagreement means one of them failed, and only the net's failure
+    mode is unbounded. Composition is skipped where its intermediate lookup
+    left the image."""
+    comp, valid = jax.vmap(compose_flow)(flow1_a, flow1_b)
+    disagree = jnp.linalg.norm(flow2 - comp, axis=-1) > disagree_px
+    use_comp = (disagree & valid)[..., None]
+    return jnp.where(use_comp, comp, flow2), use_comp[..., 0]
+
+
 def motion_boundary(flow: jnp.ndarray, thres: float = 0.02) -> jnp.ndarray:
     """Motion-boundary mask: forward-difference gradient magnitude vs flow norm."""
     dx = jnp.zeros_like(flow)

@@ -100,13 +100,44 @@ def flow_stage(
         raft_apply(images[np.concatenate(ia_all)], images[np.concatenate(ib_all)])
     )
     off = 0
+    computed = set()
     for name, stride, d, npairs in todo:
-        d.mkdir(parents=True, exist_ok=True)
         flows = flows_all[off:off + npairs]
         off += npairs
+        result[name] = flows
+        computed.add(name)
+
+    # stride-2 safety net (see FlowConfig.stride2_compose_disagree_px): only
+    # for freshly computed stride-2 — externally supplied flow is respected
+    tau = cfg.flow.stride2_compose_disagree_px
+    if tau > 0 and use_pc:
+        from ..ops.flow_ops import stride2_compose_fallback
+
+        for name2, hop in (("flow_f2", "flow_f"), ("flow_b2", "flow_b")):
+            if name2 not in computed or hop not in result:
+                continue
+            f1 = result[hop]
+            if name2 == "flow_f2":
+                # pair i: i -> i+2 = (i -> i+1) then (i+1 -> i+2)
+                a, b = f1[:-1], f1[1:]
+            else:
+                # backward pair i: i+2 -> i = (i+2 -> i+1) then (i+1 -> i)
+                a, b = f1[1:], f1[:-1]
+            blended, used = stride2_compose_fallback(
+                jnp.asarray(result[name2]), jnp.asarray(a), jnp.asarray(b),
+                disagree_px=tau,
+            )
+            frac = float(jnp.mean(used.astype(jnp.float32)))
+            if frac > 0:
+                log(f"[flow] {name2}: composed-stride-1 fallback on "
+                    f"{100 * frac:.1f}% of pixels")
+            result[name2] = np.asarray(blended)
+
+    for name, stride, d, npairs in todo:
+        d.mkdir(parents=True, exist_ok=True)
+        flows = result[name]
         for i in range(npairs):
             flo_io.write_flo(d / f"{i:06d}.flo", flows[i])
-        result[name] = flows
         log(f"[flow] {name}: computed {npairs} pairs (batched)")
     return result
 

@@ -37,7 +37,10 @@ def run_reconstruction_manager(
     models: List[Reconstruction] = []
     mask = tracks.mask.copy()
     for k in range(max_models):
-        sub = TrackArrays(xy=tracks.xy, mask=mask)
+        # labels MUST ride along: without them the mapper's seg-geometry gate
+        # never fires in the pipeline (measured ATE 0.164 vs 0.017 gated at
+        # protocol scale)
+        sub = TrackArrays(xy=tracks.xy, mask=mask, labels=tracks.labels)
         # enough frames with enough observations left?
         frames_alive = (mask.sum(axis=0) >= cfg.min_num_matches).sum()
         if frames_alive < 3:

@@ -116,7 +116,7 @@ def run_global_mapper(
         comp_mask = tracks.mask.copy()
         for r in used_rows:
             comp_mask[r] = False
-        comp = TrackArrays(xy=tracks.xy, mask=comp_mask)
+        comp = TrackArrays(xy=tracks.xy, mask=comp_mask, labels=tracks.labels)
         rec2 = _run_global_mapper_once(comp, height, width, cfg, params, log)
         s1 = _model_score(rec, height, width)
         s2 = _model_score(rec2, height, width)

@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 @dataclass
 class FlowConfig:
     # RAFT-class flow net (reference: third_party/RAFT fork, raft-things weights)
-    iters: int = 20
+    # GRU iterations; None = the count recorded in the checkpoint meta
+    iters: Optional[int] = None
     hidden_dim: int = 128
     context_dim: int = 128
     corr_levels: int = 4
@@ -29,6 +30,15 @@ class FlowConfig:
     # pairs per device per dispatch: big enough to amortize per-dispatch
     # latency, small enough that the full-res correlation volumes fit HBM
     per_device: int = 8
+    # stride-2 composition fallback (ops.flow_ops.stride2_compose_fallback),
+    # disabled by default after end-to-end measurement: it fixes the net's
+    # large-displacement stride-2 tail (20 px -> 1.3 px EPE on fast-motion
+    # pairs), but those refs are already excluded downstream by the tracker's
+    # |flow02| < upper_flow gate, while at occlusion/motion boundaries the
+    # through-occlusion composition corrupts refs the net got right —
+    # measured ATE 0.017 -> 0.220 at protocol scale with it on. Kept as an
+    # option for flow checkpoints with in-range stride-2 failures. 0 = off.
+    stride2_compose_disagree_px: float = 0.0
 
 
 @dataclass

@@ -87,3 +87,43 @@ def test_motion_boundary_matches_reference(rng):
     gx, gy = dx.mean(-1), dy.mean(-1)
     ref = (np.sqrt(gx**2 + gy**2) > 0.02 * np.linalg.norm(flow, ord=2, axis=-1)).astype(np.float32)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_compose_flow_constant_translation():
+    H, W = 20, 30
+    f_ab = np.full((H, W, 2), (3.0, 1.0), np.float32)
+    f_bc = np.full((H, W, 2), (2.0, -1.0), np.float32)
+    comp, valid = flow_ops.compose_flow(jnp.asarray(f_ab), jnp.asarray(f_bc))
+    comp, valid = np.asarray(comp), np.asarray(valid)
+    # interior: exact chain; validity marks where p + f_ab left the image
+    np.testing.assert_allclose(
+        comp[valid], np.broadcast_to((5.0, 0.0), comp[valid].shape), atol=1e-5
+    )
+    assert valid[:-1, : W - 3].all()
+    assert not valid[:, W - 3 :].any()   # x + 3 > W-1 there
+
+
+def test_stride2_compose_fallback_replaces_only_disagreement():
+    rng = np.random.default_rng(0)
+    H, W = 24, 32
+    f1a = rng.normal(0, 0.5, (3, H, W, 2)).astype(np.float32)
+    f1b = rng.normal(0, 0.5, (3, H, W, 2)).astype(np.float32)
+    comps, valids = [], []
+    for k in range(3):
+        c, v = flow_ops.compose_flow(jnp.asarray(f1a[k]), jnp.asarray(f1b[k]))
+        comps.append(np.asarray(c)); valids.append(np.asarray(v))
+    comps, valids = np.stack(comps), np.stack(valids)
+    # net stride-2 = per-pair composition + tiny noise, except a corrupted block
+    net = comps + rng.normal(0, 0.1, (3, H, W, 2)).astype(np.float32)
+    net[1, 5:12, 6:14] += 25.0
+    out, used = flow_ops.stride2_compose_fallback(
+        jnp.asarray(net), jnp.asarray(f1a), jnp.asarray(f1b), disagree_px=4.0
+    )
+    out, used = np.asarray(out), np.asarray(used)
+    # agreeing pixels keep the net values
+    np.testing.assert_array_equal(out[0], net[0])
+    assert not used[0].any() and not used[2].any()
+    # the corrupted block is replaced where the composition is valid
+    v1 = valids[1, 5:12, 6:14]
+    assert (used[1, 5:12, 6:14] | ~v1).all()
+    assert np.abs(out[1, 5:12, 6:14][v1] - comps[1, 5:12, 6:14][v1]).max() < 1e-5
