@@ -73,6 +73,7 @@ def train(
     save_every: int = 200,
     crop_hw: tuple | None = (192, 256),
     infer_iters: int = 12,
+    init_ckpt: str | None = None,
     log=print,
 ):
     import jax
@@ -109,6 +110,13 @@ def train(
     ]
     n_params = sum(p.size for p in jax.tree.leaves(params))
     log(f"[flowtrain] compact RAFT: {n_params/1e6:.2f}M params")
+    if init_ckpt and Path(init_ckpt).exists():
+        from .infer import load_flow_checkpoint
+        from flax.serialization import from_state_dict
+
+        loaded, _ = load_flow_checkpoint(init_ckpt)
+        params = from_state_dict(params, loaded)
+        log(f"[flowtrain] warm-started params from {init_ckpt}")
 
     # onecycle with <~50 steps produces zero-length segments -> NaN LR
     if steps >= 50:
@@ -249,13 +257,15 @@ def main(argv=None):
                     help="random-crop size for training steps (0 0 = full)")
     ap.add_argument("--infer_iters", type=int, default=12,
                     help="GRU iterations recorded in the checkpoint meta for inference")
+    ap.add_argument("--init_ckpt", default=None,
+                    help="warm-start params from an inference checkpoint")
     args = ap.parse_args(argv)
     crop = tuple(args.crop) if args.crop and args.crop[0] > 0 else None
     best = train(args.out, args.scenes, args.steps, args.batch, args.iters,
                  args.lr, args.seed, args.dataset_cache, args.workers,
                  eval_every=args.eval_every, resume=args.resume,
                  max_seconds=args.max_seconds, crop_hw=crop,
-                 infer_iters=args.infer_iters)
+                 infer_iters=args.infer_iters, init_ckpt=args.init_ckpt)
     print(f"best val EPE: {best:.3f} px")
     return 0
 
