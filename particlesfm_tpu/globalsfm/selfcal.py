@@ -1,0 +1,187 @@
+"""Shared-focal self-calibration from fundamental matrices.
+
+The reference assumes a SIMPLE_PINHOLE camera whose focal starts at a heuristic
+prior (colmap feature_importer default, consumed by gmapper's database cache)
+and is refined only inside bundle adjustment
+(/root/reference/sfm/gmapper/src/optim/bundle_adjustment.h:48-102,
+refine_focal_length). Measured at protocol scale (48 frames, 1024x436, ~100k
+tracks), free-focal BA from a heuristic prior drifts systematically HIGH
+(1.1-4.7x ground truth across every acceptance sequence): with rotations pinned
+in the first refinement phase, a focal inflation trades off against scene depth
+almost residual-free, and the joint phase then polishes inside the warped basin.
+
+This module removes the dependence on the prior altogether: the shared focal is
+estimated directly from raw pixel correspondences BEFORE any intrinsics enter
+the pipeline.
+
+  1. batched fundamental-matrix RANSAC over all covisible pairs in lockstep
+     (same fixed-hypothesis-budget design as twoview.estimate_relative_poses,
+     but the model stays projective: rank-2 F, no essential projection);
+  2. a 1-D log-grid search over candidate focals minimizing the
+     Mendonca-Cipolla essentiality cost
+
+         c_p(f) = (s1 - s2) / (s1 + s2)   of   E_p(f) = K(f)^T F_p K(f),
+
+     where s1 >= s2 are the top singular values: E(f) lies on the essential
+     manifold iff s1 == s2, which holds exactly when K(f) matches the true
+     intrinsics. Per-pair curves are normalized by their own median so
+     degenerate pairs (small baseline, planar, pure rotation -- flat or
+     uninformative curves) cannot dominate, then aggregated by inlier-weighted
+     mean and refined with a 3-point parabola in log f.
+
+Everything is flat-batched [P*C, 3, 3] closed-form linalg (geometry/linalg3)
+-- no iterative eigensolvers, no data-dependent shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import epipolar
+from ..geometry.linalg3 import eigh3x3_desc
+from .twoview import _sample_indices
+
+
+class FundamentalResult(NamedTuple):
+    F: jnp.ndarray            # [P, 3, 3] pixel-coordinate fundamental matrices
+    inliers: jnp.ndarray      # [P, M] bool
+    num_inliers: jnp.ndarray  # [P] int32
+
+
+class FocalEstimate(NamedTuple):
+    focal: jnp.ndarray        # [] estimated shared focal (pixels)
+    confidence: jnp.ndarray   # [] in [0, 1]: fraction of informative pairs
+                              #    whose own curve minimum agrees with the
+                              #    global one within 20%
+    num_pairs: jnp.ndarray    # [] int32 pairs that contributed
+    curve: jnp.ndarray        # [C] aggregated cost curve (diagnostics)
+    f_grid: jnp.ndarray       # [C] candidate focals
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def estimate_fundamentals(
+    key: jax.Array,
+    uv1: jnp.ndarray,        # [P, M, 2] raw pixel coords in image i
+    uv2: jnp.ndarray,        # [P, M, 2] raw pixel coords in image j
+    mask: jnp.ndarray,       # [P, M] bool
+    thres_px_sq: float,      # squared Sampson threshold (px^2)
+    num_hypotheses: int = 64,
+) -> FundamentalResult:
+    """Fixed-budget fundamental-matrix RANSAC for all pairs in one kernel."""
+    P, M, _ = uv1.shape
+    S = num_hypotheses
+    keys = jax.random.split(key, P)
+    idx = jax.vmap(lambda k, m: _sample_indices(k, m, S))(keys, mask)  # [P,S,8]
+
+    rows = jnp.arange(P)[:, None, None]
+    s1 = uv1[rows, idx]
+    s2 = uv2[rows, idx]
+    smask = mask[rows, idx].astype(uv1.dtype)
+
+    F0 = epipolar.eight_point(
+        s1.reshape(P * S, 8, 2), s2.reshape(P * S, 8, 2), smask.reshape(P * S, 8)
+    ).reshape(P, S, 3, 3)
+    err = epipolar.sampson_error(F0, uv1[:, None], uv2[:, None])  # [P, S, M]
+    inl = (err < thres_px_sq) & mask[:, None]
+    scores = jnp.sum(inl.astype(jnp.int32), axis=-1)
+    best = jnp.argmax(scores, axis=-1)
+    best_inl = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    F_best = jnp.take_along_axis(F0, best[:, None, None, None], axis=1)[:, 0]
+
+    # one masked LS refit on the winning consensus set
+    F_refit = epipolar.eight_point(uv1, uv2, best_inl.astype(uv1.dtype))
+    err_refit = epipolar.sampson_error(F_refit, uv1, uv2)
+    inl_refit = (err_refit < thres_px_sq) & mask
+    better = jnp.sum(inl_refit.astype(jnp.int32), -1) >= jnp.sum(
+        best_inl.astype(jnp.int32), -1
+    )
+    F_final = jnp.where(better[:, None, None], F_refit, F_best)
+    inl_final = jnp.where(better[:, None], inl_refit, best_inl)
+    return FundamentalResult(
+        F_final, inl_final, jnp.sum(inl_final.astype(jnp.int32), -1)
+    )
+
+
+def focal_cost_curves(
+    F: jnp.ndarray,          # [P, 3, 3] pixel-coordinate fundamentals
+    pp: jnp.ndarray,         # [2] principal point (cx, cy)
+    f_grid: jnp.ndarray,     # [C] candidate focals
+) -> jnp.ndarray:
+    """Mendonca-Cipolla essentiality cost for every (pair, candidate): [P, C]."""
+    C = f_grid.shape[0]
+    K = jnp.zeros((C, 3, 3), F.dtype)
+    K = K.at[:, 0, 0].set(f_grid).at[:, 1, 1].set(f_grid)
+    K = K.at[:, 0, 2].set(pp[0]).at[:, 1, 2].set(pp[1]).at[:, 2, 2].set(1.0)
+    E = jnp.einsum("cji,pjk,ckl->pcil", K, F, K)           # [P, C, 3, 3]
+    P = F.shape[0]
+    EtE = jnp.einsum("bji,bjk->bik", E.reshape(P * C, 3, 3), E.reshape(P * C, 3, 3))
+    w, _ = eigh3x3_desc(EtE)                                # descending eigvals
+    s = jnp.sqrt(jnp.maximum(w, 0.0)).reshape(P, C, 3)
+    return (s[..., 0] - s[..., 1]) / jnp.maximum(s[..., 0] + s[..., 1], 1e-12)
+
+
+@partial(jax.jit, static_argnames=("num_candidates", "num_hypotheses"))
+def estimate_shared_focal(
+    key: jax.Array,
+    uv1: jnp.ndarray,        # [P, M, 2] raw pixel coords
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,       # [P, M]
+    pp: jnp.ndarray,         # [2] principal point
+    f_lo: float,
+    f_hi: float,
+    thres_px_sq: float = 16.0,
+    min_inliers: int = 24,
+    num_candidates: int = 96,
+    num_hypotheses: int = 64,
+) -> FocalEstimate:
+    """Estimate the shared focal length from pixel correspondences alone."""
+    fr = estimate_fundamentals(key, uv1, uv2, mask, thres_px_sq, num_hypotheses)
+    f_grid = jnp.exp(
+        jnp.linspace(jnp.log(f_lo), jnp.log(f_hi), num_candidates)
+    ).astype(uv1.dtype)
+    curves = focal_cost_curves(fr.F, jnp.asarray(pp, uv1.dtype), f_grid)  # [P,C]
+
+    w_pair = jnp.where(fr.num_inliers >= min_inliers,
+                       jnp.sqrt(fr.num_inliers.astype(curves.dtype)), 0.0)
+    # self-normalize each pair's curve: a flat (degenerate-geometry) curve
+    # becomes ~1 everywhere and contributes no gradient; informative pairs
+    # contribute a dip at the true focal
+    med = jnp.median(curves, axis=1, keepdims=True)
+    norm_curves = curves / jnp.maximum(med, 1e-9)
+    agg = jnp.sum(norm_curves * w_pair[:, None], axis=0) / jnp.maximum(
+        jnp.sum(w_pair), 1e-9
+    )                                                       # [C]
+
+    i = jnp.argmin(agg)
+    im = jnp.clip(i - 1, 0, num_candidates - 1)
+    ip = jnp.clip(i + 1, 0, num_candidates - 1)
+    # 3-point parabola in log f (uniform log grid)
+    ym, y0, yp = agg[im], agg[i], agg[ip]
+    denom = ym - 2.0 * y0 + yp
+    shift = jnp.where(jnp.abs(denom) > 1e-12,
+                      jnp.clip(0.5 * (ym - yp) / jnp.maximum(denom, 1e-12),
+                               -1.0, 1.0),
+                      0.0)
+    interior = (i > 0) & (i < num_candidates - 1)
+    shift = jnp.where(interior, shift, 0.0)
+    step = (jnp.log(f_hi) - jnp.log(f_lo)) / (num_candidates - 1)
+    f_hat = jnp.exp(jnp.log(f_grid[i]) + shift * step)
+
+    # agreement confidence: informative pairs whose own curve minimum lands
+    # within 20% of the global estimate. "Informative" = enough inliers AND a
+    # real dip (min < 0.7 * median of own curve).
+    per_min_i = jnp.argmin(curves, axis=1)
+    per_f = f_grid[per_min_i]
+    per_depth = jnp.take_along_axis(curves, per_min_i[:, None], axis=1)[:, 0]
+    informative = (w_pair > 0) & (per_depth < 0.7 * jnp.maximum(med[:, 0], 1e-9))
+    agree = informative & (jnp.abs(jnp.log(per_f / f_hat)) < 0.18)
+    n_inf = jnp.sum(informative.astype(jnp.int32))
+    conf = jnp.sum(agree.astype(curves.dtype)) / jnp.maximum(
+        n_inf.astype(curves.dtype), 1.0
+    )
+    conf = jnp.where(n_inf >= 8, conf, 0.0)
+    return FocalEstimate(f_hat, conf, n_inf, agg, f_grid)
