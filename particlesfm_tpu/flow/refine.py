@@ -1,0 +1,146 @@
+"""Photometric sub-pixel refinement of net-predicted optical flow.
+
+Why this exists: the in-environment flow net reaches ~0.3-0.6 px EPE, which is
+excellent by flow metrics but carries a spatially STRUCTURED sub-pixel bias
+(measured via F-matrix self-calibration: correspondences integrated from GT
+flow recover the true focal to 0.3%, the net's flow recovers it 8-15% high,
+and the downstream mapper inherits the warp). Random error averages out over
+100k correspondences; structured error does not. A few damped Lucas-Kanade
+Gauss-Newton iterations against the actual image pair pull each flow vector to
+the photometric optimum wherever texture supports it, removing the net's
+structured component while the trust region keeps texture-poor regions at the
+net's prediction.
+
+The reference has no counterpart (its RAFT fork is trusted as-is); this is a
+TPU-native quality stage: everything is batched elementwise math + separable
+convolutions + bilinear gathers inside one jit, data-parallel over pairs.
+
+Algorithm (forward-additive LK with Gaussian window aggregation):
+  repeat `iters` times:
+    r   = I2(x + u) - I1(x)                      (photometric residual)
+    g   = grad I2 sampled at x + u
+    w   = [|r| < robust_thresh] * in_bounds      (robust/occlusion weights)
+    A   = G * [w g g^T] + damp I                 (G = Gaussian window filter)
+    b   = -G * [w g r]
+    du  = A^-1 b  (closed-form 2x2), per-iteration step clamp
+    u   = clip_to_trust_region(u + du, u0, max_total)
+  pixels whose window carries no signal (sum of weights ~ 0 or ill-conditioned
+  A) keep their current estimate.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import bilinear_sample
+
+
+def _grayscale(img):
+    """[H, W, 3] or [H, W] float in [0, 1] -> [H, W]."""
+    if img.ndim == 2:
+        return img
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+
+
+def _gaussian_kernel1d(sigma: float, radius: int, dtype):
+    x = jnp.arange(-radius, radius + 1, dtype=dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _window_filter(x, k1d):
+    """Separable Gaussian window sum over the last two dims. x: [..., H, W]."""
+    batch = x.shape[:-2]
+    H, W = x.shape[-2:]
+    xb = x.reshape((-1, 1, H, W))
+    r = (k1d.shape[0] - 1) // 2
+    kh = k1d.reshape(1, 1, -1, 1)
+    kw = k1d.reshape(1, 1, 1, -1)
+    y = jax.lax.conv_general_dilated(xb, kh, (1, 1), [(r, r), (0, 0)])
+    y = jax.lax.conv_general_dilated(y, kw, (1, 1), [(0, 0), (r, r)])
+    return y.reshape(batch + (H, W))
+
+
+def _gradients(img):
+    """Central-difference gradients of [H, W] -> (gx, gy)."""
+    gx = jnp.zeros_like(img)
+    gy = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    return gx, gy
+
+
+def photometric_refine_pair(
+    img1: jnp.ndarray,      # [H, W, 3] or [H, W] float in [0, 1]
+    img2: jnp.ndarray,
+    flow0: jnp.ndarray,     # [H, W, 2] initial flow (net prediction)
+    iters: int = 4,
+    window_sigma: float = 2.0,
+    window_radius: int = 4,
+    damp: float = 1e-4,
+    step_clamp: float = 1.0,
+    max_total: float = 3.0,
+    robust_thresh: float = 0.25,
+    min_weight: float = 0.05,
+) -> jnp.ndarray:
+    """Refine one pair's flow field. Returns [H, W, 2]."""
+    dtype = flow0.dtype
+    I1 = _grayscale(img1).astype(dtype)
+    I2 = _grayscale(img2).astype(dtype)
+    H, W = I1.shape
+    gx2, gy2 = _gradients(I2)
+    k1d = _gaussian_kernel1d(window_sigma, window_radius, dtype)
+
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    grid = jnp.stack([xs, ys], axis=-1).astype(dtype)      # (x, y) convention
+
+    def body(u, _):
+        pos = grid + u                                     # [H, W, 2]
+        flat = pos.reshape(-1, 2)
+        I2w = bilinear_sample(I2[..., None], flat)[..., 0].reshape(H, W)
+        gxw = bilinear_sample(gx2[..., None], flat)[..., 0].reshape(H, W)
+        gyw = bilinear_sample(gy2[..., None], flat)[..., 0].reshape(H, W)
+        r = I2w - I1
+        inb = (
+            (pos[..., 0] >= 1.0) & (pos[..., 0] <= W - 2.0)
+            & (pos[..., 1] >= 1.0) & (pos[..., 1] <= H - 2.0)
+        )
+        w = (jnp.abs(r) < robust_thresh) & inb
+        wf = w.astype(dtype)
+        A11 = _window_filter(wf * gxw * gxw, k1d) + damp
+        A12 = _window_filter(wf * gxw * gyw, k1d)
+        A22 = _window_filter(wf * gyw * gyw, k1d) + damp
+        b1 = -_window_filter(wf * gxw * r, k1d)
+        b2 = -_window_filter(wf * gyw * r, k1d)
+        wsum = _window_filter(wf, k1d)
+        det = A11 * A22 - A12 * A12
+        du = jnp.stack(
+            [(A22 * b1 - A12 * b2), (A11 * b2 - A12 * b1)], axis=-1
+        ) / jnp.maximum(det, 1e-12)[..., None]
+        du = jnp.clip(du, -step_clamp, step_clamp)
+        # textureless / occluded / degenerate windows hold their estimate
+        ok = (wsum > min_weight) & (det > 1e-9) & inb
+        u_new = u + jnp.where(ok[..., None], du, 0.0)
+        # trust region around the net's prediction
+        d = u_new - flow0
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, max_total / jnp.maximum(n, 1e-9))
+        return flow0 + d * scale, None
+
+    u, _ = jax.lax.scan(body, flow0, None, length=iters)
+    return u
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def photometric_refine(
+    img1s: jnp.ndarray,     # [B, H, W, 3] float in [0, 1]
+    img2s: jnp.ndarray,
+    flows: jnp.ndarray,     # [B, H, W, 2]
+    iters: int = 4,
+    **kwargs,
+) -> jnp.ndarray:
+    """Batched refinement, data-parallel over pairs."""
+    fn = partial(photometric_refine_pair, iters=iters, **kwargs)
+    return jax.vmap(fn)(img1s, img2s, flows)

@@ -35,6 +35,45 @@ def _flow_dir_complete(d: Path, expected: int) -> bool:
     return d.is_dir() and len(list(d.glob("*.flo"))) >= expected
 
 
+def _write_flow_selfcal(result, height, width, out_dir: Path, cfg, log):
+    """Self-calibrate the shared focal from the flow stack -> selfcal.json.
+
+    Runs at the flow stage because flow-level correspondences measure focal
+    better than tracker output (path consistency compounds per-step flow bias
+    over track length); the SfM stage consumes the JSON as its focal prior."""
+    p = Path(out_dir) / "selfcal.json"
+    if not cfg.flow.selfcal or "flow_f" not in result:
+        return
+    if cfg.skip_exists and p.exists():
+        return
+    import json
+
+    from ..globalsfm.selfcal import estimate_focal_from_flows
+
+    info = estimate_focal_from_flows(result, height, width, seed=0)
+    p.write_text(json.dumps(info, indent=2))
+    log(f"[flow] self-calibrated focal {info['focal']:.1f} "
+        f"(conf {info['confidence']:.2f}, dip {info['dip']:.2f}, "
+        f"n {info['num_pairs']})")
+
+
+def read_flow_selfcal(out_dir: Path, cfg) -> Optional[float]:
+    """Focal from the flow stage's selfcal.json, if present and trustworthy."""
+    p = Path(out_dir) / "selfcal.json"
+    if not getattr(cfg.sfm, "selfcal_focal", True) or not p.exists():
+        return None
+    import json
+
+    info = json.loads(p.read_text())
+    ok = (
+        info.get("interior", True)
+        and info.get("num_pairs", 0) >= cfg.sfm.selfcal_min_pairs
+        and (info.get("dip", 1.0) <= cfg.sfm.selfcal_max_dip
+             or info.get("confidence", 0.0) >= cfg.sfm.selfcal_min_conf)
+    )
+    return float(info["focal"]) if ok else None
+
+
 def flow_stage(
     images: np.ndarray,            # [T, H, W, 3] float32
     out_dir: Path,
@@ -80,6 +119,8 @@ def flow_stage(
             continue
         todo.append((name, stride, d, npairs))
     if not todo:
+        _write_flow_selfcal(result, images.shape[1], images.shape[2],
+                            out_dir, cfg, log)
         return result
     if raft_apply is None:
         raise RuntimeError(
@@ -106,6 +147,36 @@ def flow_stage(
         off += npairs
         result[name] = flows
         computed.add(name)
+
+    # photometric sub-pixel refinement (flow/refine.py): pull each freshly
+    # computed flow vector to its photometric optimum on the actual image pair
+    # — removes the net's spatially structured sub-pixel bias that metric SfM
+    # would otherwise inherit. External (reused) flow is respected as-is.
+    if cfg.flow.photometric_refine:
+        from ..flow.refine import photometric_refine
+
+        B = 8
+        for (name, stride, d, npairs), ia, ib in zip(todo, ia_all, ib_all):
+            fl = result[name]
+            out = []
+            for s in range(0, npairs, B):
+                i1 = images[ia[s:s + B]] / 255.0
+                i2 = images[ib[s:s + B]] / 255.0
+                f0 = fl[s:s + B]
+                pad = B - f0.shape[0]
+                if pad:  # pad the tail chunk to avoid a second compile
+                    i1 = np.concatenate([i1, i1[-1:].repeat(pad, 0)])
+                    i2 = np.concatenate([i2, i2[-1:].repeat(pad, 0)])
+                    f0 = np.concatenate([f0, f0[-1:].repeat(pad, 0)])
+                ref = np.asarray(photometric_refine(
+                    jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(f0),
+                    iters=cfg.flow.refine_iters,
+                    max_total=cfg.flow.refine_max_total_px,
+                ))
+                out.append(ref[:B - pad] if pad else ref)
+            result[name] = np.concatenate(out)
+            log(f"[flow] {name}: photometric refinement "
+                f"({cfg.flow.refine_iters} GN iters)")
 
     # stride-2 safety net (see FlowConfig.stride2_compose_disagree_px): only
     # for freshly computed stride-2 — externally supplied flow is respected
@@ -139,6 +210,8 @@ def flow_stage(
         for i in range(npairs):
             flo_io.write_flo(d / f"{i:06d}.flo", flows[i])
         log(f"[flow] {name}: computed {npairs} pairs (batched)")
+    _write_flow_selfcal(result, images.shape[1], images.shape[2],
+                        out_dir, cfg, log)
     return result
 
 
@@ -264,6 +337,18 @@ def sfm_stage(
     if cfg.skip_exists and (model_dir / "images.bin").exists():
         log("[sfm] reusing existing model")
         return None
+    # focal prior: flow-stage self-calibration beats both the heuristic prior
+    # and track-level estimation (see _write_flow_selfcal)
+    params = None
+    f_cal = read_flow_selfcal(out_dir, cfg)
+    if f_cal is not None:
+        from ..geometry import cameras as _cams
+
+        params = np.asarray(
+            _cams.make_default_params(height, width), np.float32).copy()
+        log(f"[sfm] focal prior from flow self-calibration: {f_cal:.1f} "
+            f"(heuristic {params[0]:.1f})")
+        params[0] = params[1] = f_cal
     # sfm_type dispatch (run_particlesfm.py:73-97): global (gmapper/Theia
     # parity, default), incremental (colmap-mapper parity), glomap (direct
     # global positioning over bearings — handled inside run_global_mapper)
@@ -271,13 +356,14 @@ def sfm_stage(
         # reference parity: colmap mapper runs with multiple_models=0
         from ..sfm.incremental import run_incremental_mapper as _run
 
-        rec = _run(tracks, height, width, cfg.sfm, log=log)
+        rec = _run(tracks, height, width, cfg.sfm, params=params, log=log)
         write_colmap_model(rec, model_dir, image_names)
     elif cfg.sfm.multiple_models:
         from ..sfm.manager import run_reconstruction_manager, write_models
 
         models = run_reconstruction_manager(
-            tracks, height, width, cfg.sfm, max_models=cfg.sfm.max_models, log=log
+            tracks, height, width, cfg.sfm, max_models=cfg.sfm.max_models,
+            params=params, log=log
         )
         rec = write_models(models, model_dir, image_names, log=log)
         if rec is None:
@@ -293,7 +379,7 @@ def sfm_stage(
     else:
         from ..sfm.mapper import run_global_mapper as _run
 
-        rec = _run(tracks, height, width, cfg.sfm, log=log)
+        rec = _run(tracks, height, width, cfg.sfm, params=params, log=log)
         write_colmap_model(rec, model_dir, image_names)
     write_converted_outputs(rec, Path(out_dir) / "colmap_outputs_converted", image_names)
     stats = compute_model_stats(rec)

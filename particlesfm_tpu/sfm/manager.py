@@ -29,6 +29,7 @@ def run_reconstruction_manager(
     width: int,
     cfg: Optional[SfmConfig] = None,
     max_models: int = 4,
+    params=None,
     log=print,
 ) -> List[Reconstruction]:
     """Recover every reconstructable component, largest-first order not
@@ -45,7 +46,7 @@ def run_reconstruction_manager(
         frames_alive = (mask.sum(axis=0) >= cfg.min_num_matches).sum()
         if frames_alive < 3:
             break
-        rec = run_global_mapper(sub, height, width, cfg, log=log)
+        rec = run_global_mapper(sub, height, width, cfg, params=params, log=log)
         if rec.num_registered < 3:
             break
         models.append(rec)

@@ -154,6 +154,7 @@ def _run_global_mapper_once(
     params: Optional[np.ndarray] = None,
     log=print,
 ) -> Reconstruction:
+    default_prior = params is None
     if params is None:
         params = np.asarray(cameras.make_default_params(height, width), np.float32)
     num_images = tracks.num_frames
@@ -179,6 +180,7 @@ def _run_global_mapper_once(
         log("[mapper] too few covisible pairs; reconstruction failed")
         return _failed(num_images, params, height, width)
     log(f"[mapper] {len(pair_t.pairs)} covisible pairs")
+
 
     # ---- two-view geometry (batched RANSAC) ------------------------------
     def norm(uv):
@@ -284,6 +286,66 @@ def _run_global_mapper_once(
             rm = (seg_remove[tic, pair_t.pairs[:, None, 0]]
                   | seg_remove[tic, pair_t.pairs[:, None, 1]]) & (ti >= 0)
             pmask = pmask & ~rm
+
+    # ---- track-level shared-focal self-calibration (globalsfm/selfcal.py)
+    # when no intrinsics were supplied. Library fallback: the pipeline prefers
+    # the flow-level estimate (stages.read_flow_selfcal) and passes it via
+    # params, which skips this block. Runs AFTER the attempt loop so the
+    # fundamental fit sees only epipolar-verified static correspondences
+    # (mover contamination measurably corrupts the essentiality curve), and a
+    # boundary minimum (no interior dip) is rejected outright.
+    if default_prior and cfg.selfcal_focal:
+        from ..globalsfm.selfcal import estimate_shared_focal
+
+        scal_mask = pmask & np.asarray(tv.inliers) & verified[:, None]
+        f_lo, f_hi = 0.3 * max(height, width), 3.0 * max(height, width)
+        est = estimate_shared_focal(
+            jax.random.PRNGKey(cfg.seed + 11),
+            jnp.asarray(pair_t.uv1), jnp.asarray(pair_t.uv2),
+            jnp.asarray(scal_mask), jnp.asarray(params[2:4]), f_lo, f_hi,
+            thres_px_sq=float(cfg.geometric_verification_max_error_px) ** 2,
+        )
+        f_hat = float(est.focal)
+        curve = np.asarray(est.curve)
+        dip = float(curve.min() / max(float(np.median(curve)), 1e-9))
+        grid = np.asarray(est.f_grid)
+        interior = grid[1] < f_hat < grid[-2]
+        usable = interior and int(est.num_pairs) >= cfg.selfcal_min_pairs and (
+            dip <= cfg.selfcal_max_dip
+            or float(est.confidence) >= cfg.selfcal_min_conf
+        )
+        if usable:
+            log(f"[mapper] self-calibrated focal {f_hat:.1f} (prior {focal:.1f}, "
+                f"conf {float(est.confidence):.2f}, dip {dip:.2f})")
+            if abs(np.log(f_hat / focal)) > 0.02:
+                # re-estimate pairwise geometry under the calibrated focal
+                params = params.copy()
+                params[0] = params[1] = focal = f_hat
+                x1n = jnp.asarray((pair_t.uv1 - params[None, None, 2:4]) / focal)
+                x2n = jnp.asarray((pair_t.uv2 - params[None, None, 2:4]) / focal)
+                thres_sq = np.full(
+                    len(pair_t.pairs),
+                    (cfg.geometric_verification_max_error_px / focal) ** 2,
+                    np.float32,
+                )
+                tv = estimate_relative_poses(
+                    jax.random.PRNGKey(cfg.seed),
+                    x1n, x2n, jnp.asarray(pmask), jnp.asarray(thres_sq),
+                )
+                num_inl = np.asarray(tv.num_inliers)
+                verified = (
+                    num_inl >= cfg.geometric_verification_min_num_inliers
+                ) & (
+                    num_inl >= cfg.geometric_verification_min_inlier_ratio
+                    * np.maximum(pmask.sum(axis=1), 1)
+                )
+                if verified.sum() < 3:
+                    return _failed(num_images, params, height, width)
+        else:
+            log(f"[mapper] focal self-calibration inconclusive "
+                f"(conf {float(est.confidence):.2f}, dip {dip:.2f}, "
+                f"n {int(est.num_pairs)}, interior {interior}); "
+                f"keeping prior {focal:.1f}")
 
     # ---- degenerate-configuration classification (two_view_geometry.h:48-67):
     # planar pairs get their pose from the homography decomposition (the

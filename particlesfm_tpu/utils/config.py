@@ -39,6 +39,19 @@ class FlowConfig:
     # measured ATE 0.017 -> 0.220 at protocol scale with it on. Kept as an
     # option for flow checkpoints with in-range stride-2 failures. 0 = off.
     stride2_compose_disagree_px: float = 0.0
+    # photometric sub-pixel refinement of freshly computed net flow
+    # (flow/refine.py): damped Lucas-Kanade GN against the actual image pair.
+    # Removes the net's spatially structured sub-pixel bias, which random-error
+    # metrics miss but metric SfM inherits (measured: F-based focal
+    # self-calibration 15% high on raw net flow, 2% after refinement; EPE
+    # 0.45 -> 0.24 at protocol scale). Applied only to freshly computed flow.
+    photometric_refine: bool = True
+    refine_iters: int = 4               # more iterations over-fit the robust
+                                        # threshold and slowly degrade (measured)
+    refine_max_total_px: float = 3.0    # trust region around the net's flow
+    # shared-focal self-calibration from refined flow correspondences
+    # (globalsfm/selfcal.py), persisted as selfcal.json for the SfM stage
+    selfcal: bool = True
 
 
 @dataclass
@@ -163,6 +176,17 @@ class SfmConfig:
     seg_geometry_gate: bool = True
     seg_rescue_inlier_rate: float = 0.9
     seg_rescue_min_samples: int = 6
+    # shared-focal self-calibration (globalsfm/selfcal.py): replace the
+    # heuristic 1.2*max(h,w) focal prior with an estimate from the data when
+    # no intrinsics are supplied. The pipeline prefers the flow-level estimate
+    # (selfcal.json written by the flow stage — flow correspondences measure
+    # focal better than tracker output, whose path-consistency compounds
+    # per-step flow bias); the mapper falls back to pair-tensor (track-level)
+    # self-calibration for library callers. Gated on estimate quality.
+    selfcal_focal: bool = True
+    selfcal_min_pairs: int = 16
+    selfcal_min_conf: float = 0.3        # per-pair agreement confidence...
+    selfcal_max_dip: float = 0.5         # ...or a real aggregated-curve dip
     geometric_verification_max_error_px: float = 4.0
     geometric_verification_min_inlier_ratio: float = 0.1
     geometric_verification_min_num_inliers: int = 15
