@@ -192,23 +192,32 @@ def estimate_focal_from_flows(
     height: int,
     width: int,
     seed: int = 0,
-    grid_step: int = 14,
-    max_points: int = 1024,
+    grid_step: int = 10,
+    max_points: int = 2048,
     thres_px_sq: float = 4.0,
+    compose_strides=(2, 4),
+    fb_thresh_px: float = 0.5,
 ) -> dict:
     """Shared-focal self-calibration from dense flow fields (host entry).
 
-    Builds tracker-free correspondences by sampling each forward flow field on
-    a sparse pixel grid (stride-1 and, when present, stride-2 pairs) and runs
-    `estimate_shared_focal`. Flow-level correspondences measure the focal
-    better than tracker output: the path-consistency optimizer compounds
-    per-step flow bias over track length (measured on the acceptance set:
-    focal from tracks 39% high, from the same flow directly 15%, from
-    photometrically refined flow 2%).
+    Builds tracker-free correspondences by chaining the forward flow field over
+    `compose_strides` steps with a forward-backward consistency gate at every
+    hop, then runs `estimate_shared_focal`. Two measured design points:
 
-    Returns a JSON-ready dict {focal, confidence, num_pairs, dip} where `dip`
-    is the aggregated curve's min/median contrast (a second usefulness signal:
-    < ~0.5 means the curve has a real minimum).
+    - Flow-level correspondences beat tracker output (the path-consistency
+      optimizer compounds per-step flow bias over track length: focal from
+      tracks 39% high, from the same flow directly 15%, from photometrically
+      refined flow 2-4% on the acceptance set).
+    - Single-step pairs are too short-baseline to condition focal — the
+      essentiality curve is shallow and the estimate seed-unstable (swings
+      1458-1612 on one sequence). fb-gated composition to stride 4 deepens the
+      curve (dip 0.72 -> 0.39) and stabilizes the estimate to +-0.2%.
+
+    Falls back to raw stride-1/2 pairs when flow_b is absent.
+
+    Returns a JSON-ready dict {focal, confidence, num_pairs, dip, interior};
+    `dip` is the aggregated curve's min/median contrast (< ~0.5 means a real
+    minimum), `interior` False flags a boundary minimum (not a calibration).
     """
     import numpy as np
 
@@ -222,20 +231,52 @@ def estimate_focal_from_flows(
 
     from ..ops.sampling import bilinear_sample
 
-    uv1s, uv2s = [], []
-    for name in ("flow_f", "flow_f2"):
-        if name not in flows:
-            continue
-        fl = jnp.asarray(flows[name])                    # [P, H, W, 2]
-        samp = jax.vmap(lambda f: bilinear_sample(f, jnp.asarray(grid)))(fl)
-        uv2s.append(np.asarray(samp) + grid[None])
-        uv1s.append(np.repeat(grid[None], fl.shape[0], 0))
-    uv1 = np.concatenate(uv1s)
-    uv2 = np.concatenate(uv2s)
-    ok = (
-        (uv2[..., 0] > 4) & (uv2[..., 0] < width - 4)
-        & (uv2[..., 1] > 4) & (uv2[..., 1] < height - 4)
-    )
+    uv1s, uv2s, oks = [], [], []
+    if "flow_b" in flows and "flow_f" in flows:
+        ff = jnp.asarray(flows["flow_f"])
+        fb = jnp.asarray(flows["flow_b"])
+        T = ff.shape[0]
+        samp_b = jax.jit(jax.vmap(bilinear_sample))   # fields [Pw,H,W,2], pts [Pw,M,2]
+
+        for K in compose_strides:
+            nw = T - K + 1
+            if nw < 1:
+                continue
+            t0s = np.arange(nw)
+            p = jnp.broadcast_to(jnp.asarray(grid), (nw,) + grid.shape)
+            ok = jnp.ones((nw, len(grid)), bool)
+            for k in range(K):  # one batched dispatch per hop over all windows
+                f = samp_b(ff[t0s + k], p)
+                pn = p + f
+                b = samp_b(fb[t0s + k], pn)
+                err = jnp.linalg.norm(f + b, axis=-1)
+                ok &= (
+                    (err < fb_thresh_px)
+                    & (pn[..., 0] > 4) & (pn[..., 0] < width - 4)
+                    & (pn[..., 1] > 4) & (pn[..., 1] < height - 4)
+                )
+                p = pn
+            uv1s.append(np.broadcast_to(grid, (nw,) + grid.shape))
+            uv2s.append(np.asarray(p))
+            oks.append(np.asarray(ok))
+        uv1 = np.concatenate(uv1s)
+        uv2 = np.concatenate(uv2s)
+        ok = np.concatenate(oks)
+    else:
+        for name in ("flow_f", "flow_f2"):
+            if name not in flows:
+                continue
+            fl = jnp.asarray(flows[name])                # [P, H, W, 2]
+            samp_all = jax.vmap(
+                lambda f: bilinear_sample(f, jnp.asarray(grid)))(fl)
+            uv2s.append(np.asarray(samp_all) + grid[None])
+            uv1s.append(np.repeat(grid[None], fl.shape[0], 0))
+        uv1 = np.concatenate(uv1s)
+        uv2 = np.concatenate(uv2s)
+        ok = (
+            (uv2[..., 0] > 4) & (uv2[..., 0] < width - 4)
+            & (uv2[..., 1] > 4) & (uv2[..., 1] < height - 4)
+        )
     pp = jnp.asarray([width / 2.0, height / 2.0], jnp.float32)
     est = estimate_shared_focal(
         jax.random.PRNGKey(seed), jnp.asarray(uv1), jnp.asarray(uv2),

@@ -65,11 +65,15 @@ def read_flow_selfcal(out_dir: Path, cfg) -> Optional[float]:
     import json
 
     info = json.loads(p.read_text())
+    # AND of all quality signals: measured on degenerate scenes (downward-
+    # looking pure translation over a near-planar surface), either signal
+    # alone admits a confidently wrong estimate; together they reject every
+    # degenerate case seen while keeping the well-conditioned ones
     ok = (
         info.get("interior", True)
         and info.get("num_pairs", 0) >= cfg.sfm.selfcal_min_pairs
-        and (info.get("dip", 1.0) <= cfg.sfm.selfcal_max_dip
-             or info.get("confidence", 0.0) >= cfg.sfm.selfcal_min_conf)
+        and info.get("dip", 1.0) <= cfg.sfm.selfcal_max_dip
+        and info.get("confidence", 0.0) >= cfg.sfm.selfcal_min_conf
     )
     return float(info["focal"]) if ok else None
 

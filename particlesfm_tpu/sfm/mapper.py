@@ -310,9 +310,10 @@ def _run_global_mapper_once(
         dip = float(curve.min() / max(float(np.median(curve)), 1e-9))
         grid = np.asarray(est.f_grid)
         interior = grid[1] < f_hat < grid[-2]
-        usable = interior and int(est.num_pairs) >= cfg.selfcal_min_pairs and (
-            dip <= cfg.selfcal_max_dip
-            or float(est.confidence) >= cfg.selfcal_min_conf
+        usable = (
+            interior and int(est.num_pairs) >= cfg.selfcal_min_pairs
+            and dip <= cfg.selfcal_max_dip
+            and float(est.confidence) >= cfg.selfcal_min_conf
         )
         if usable:
             log(f"[mapper] self-calibrated focal {f_hat:.1f} (prior {focal:.1f}, "

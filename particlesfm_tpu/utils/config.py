@@ -185,8 +185,11 @@ class SfmConfig:
     # self-calibration for library callers. Gated on estimate quality.
     selfcal_focal: bool = True
     selfcal_min_pairs: int = 16
-    selfcal_min_conf: float = 0.3        # per-pair agreement confidence...
-    selfcal_max_dip: float = 0.5         # ...or a real aggregated-curve dip
+    selfcal_min_conf: float = 0.3        # per-pair agreement confidence AND
+    selfcal_max_dip: float = 0.5         # a real aggregated-curve dip (both
+                                         # must hold: degenerate near-planar
+                                         # pure-translation scenes pass either
+                                         # single signal with a wrong focal)
     geometric_verification_max_error_px: float = 4.0
     geometric_verification_min_inlier_ratio: float = 0.1
     geometric_verification_min_num_inliers: int = 15

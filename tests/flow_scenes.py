@@ -95,3 +95,48 @@ def make_dynamic_flow_scene(num_views=8, height=96, width=128, focal=150.0,
             )
     sc["gt_dynamic"] = masks
     return sc
+
+
+def make_conditioned_flow_scene(num_views=12, height=192, width=256,
+                                focal=240.0, hover=2.0, yaw_step=0.06):
+    """Flow scene with camera rotation + strong parallax: the camera flies low
+    (hover ~2 -> ~30% relative depth modulation from the surface) and yaws as
+    it translates, which conditions focal self-calibration (the default
+    make_flow_scene geometry — pure translation over a near-planar surface —
+    leaves focal nearly unobservable by design)."""
+    centers = np.stack(
+        [0.35 * np.arange(num_views), 0.10 * np.sin(np.arange(num_views)),
+         np.full(num_views, hover)], axis=1
+    )
+    base = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    Rs, ts = [], []
+    for i, c in enumerate(centers):
+        a = yaw_step * (i - num_views / 2.0)
+        yaw = np.array([[np.cos(a), -np.sin(a), 0.0],
+                        [np.sin(a), np.cos(a), 0.0],
+                        [0.0, 0.0, 1.0]])
+        tilt_a = 0.25 * np.sin(0.7 * i)
+        tilt = np.array([[1.0, 0.0, 0.0],
+                         [0.0, np.cos(tilt_a), -np.sin(tilt_a)],
+                         [0.0, np.sin(tilt_a), np.cos(tilt_a)]])
+        R = tilt @ yaw @ base
+        Rs.append(R)
+        ts.append(-R @ c)
+    Rs = np.stack(Rs)
+    ts = np.stack(ts)
+    K = (focal, focal, width / 2.0, height / 2.0)
+
+    def pair(a, b):
+        return flow_pair(Rs[a], ts[a], Rs[b], tb=ts[b], K=K,
+                         height=height, width=width)
+
+    flows = {
+        "flow_f": np.stack([pair(i, i + 1) for i in range(num_views - 1)]),
+        "flow_b": np.stack([pair(i + 1, i) for i in range(num_views - 1)]),
+        "flow_f2": np.stack([pair(i, i + 2) for i in range(num_views - 2)]),
+        "flow_b2": np.stack([pair(i + 2, i) for i in range(num_views - 2)]),
+    }
+    return dict(
+        flows=flows, R=Rs, t=ts, centers=centers, K=K,
+        height=height, width=width, focal=focal, num_views=num_views,
+    )

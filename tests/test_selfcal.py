@@ -115,3 +115,45 @@ def test_pure_rotation_never_confident_and_wrong():
         400.0, 4000.0)
     assert (float(est.confidence) < 0.5
             or abs(float(est.focal) / F_GT - 1.0) < 0.1)
+
+
+def _gate_accepts(info, min_pairs=16, min_conf=0.3, max_dip=0.5):
+    """Mirror of stages.read_flow_selfcal's acceptance logic."""
+    return (info["interior"] and info["num_pairs"] >= min_pairs
+            and info["dip"] <= max_dip and info["confidence"] >= min_conf)
+
+
+def test_flow_selfcal_rejects_degenerate_translation_scene():
+    """make_flow_scene's geometry (downward-looking pure translation over a
+    near-planar surface) barely observes focal; the contract is the gate one:
+    never accepted AND wrong."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from flow_scenes import make_flow_scene
+
+    from particlesfm_tpu.globalsfm.selfcal import estimate_focal_from_flows
+
+    sc = make_flow_scene(num_views=10, height=192, width=256, focal=240.0)
+    info = estimate_focal_from_flows(
+        sc["flows"], sc["height"], sc["width"], seed=0)
+    assert (not _gate_accepts(info)
+            or abs(info["focal"] / sc["focal"] - 1.0) < 0.1), info
+
+
+def test_flow_selfcal_recovers_focal_on_conditioned_scene():
+    """With camera rotation + strong parallax the estimate is accurate AND
+    passes the acceptance gate."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from flow_scenes import make_conditioned_flow_scene
+
+    from particlesfm_tpu.globalsfm.selfcal import estimate_focal_from_flows
+
+    sc = make_conditioned_flow_scene(num_views=16, height=192, width=256,
+                                     focal=240.0)
+    info = estimate_focal_from_flows(
+        sc["flows"], sc["height"], sc["width"], seed=0)
+    assert _gate_accepts(info), info
+    assert abs(info["focal"] / sc["focal"] - 1.0) < 0.06, info
