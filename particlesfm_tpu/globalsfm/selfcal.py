@@ -124,7 +124,8 @@ def focal_cost_curves(
     return (s[..., 0] - s[..., 1]) / jnp.maximum(s[..., 0] + s[..., 1], 1e-12)
 
 
-@partial(jax.jit, static_argnames=("num_candidates", "num_hypotheses"))
+@partial(jax.jit, static_argnames=("num_candidates", "num_hypotheses",
+                                   "reject_planar"))
 def estimate_shared_focal(
     key: jax.Array,
     uv1: jnp.ndarray,        # [P, M, 2] raw pixel coords
@@ -137,8 +138,18 @@ def estimate_shared_focal(
     min_inliers: int = 24,
     num_candidates: int = 96,
     num_hypotheses: int = 64,
+    reject_planar: bool = True,
 ) -> FocalEstimate:
-    """Estimate the shared focal length from pixel correspondences alone."""
+    """Estimate the shared focal length from pixel correspondences alone.
+
+    `reject_planar`: pairs a homography explains down to the noise floor carry
+    no focal signal but AGREE with each other (the fitted F collapses to the
+    degenerate [e]x.H family, whose essentiality curve dips at a consistent
+    wrong focal — measured conf 0.89 at 1.6x GT on an all-planar scene), so
+    they must be excluded, not just down-weighted. The tight-threshold
+    criterion (thres/16, mirroring twoview.classify_two_view) keeps ordinary
+    small-baseline video pairs, which are loosely H-explainable but not
+    tightly."""
     fr = estimate_fundamentals(key, uv1, uv2, mask, thres_px_sq, num_hypotheses)
     f_grid = jnp.exp(
         jnp.linspace(jnp.log(f_lo), jnp.log(f_hi), num_candidates)
@@ -147,6 +158,24 @@ def estimate_shared_focal(
 
     w_pair = jnp.where(fr.num_inliers >= min_inliers,
                        jnp.sqrt(fr.num_inliers.astype(curves.dtype)), 0.0)
+    if reject_planar:
+        from ..geometry.homography import homography_ransac, symmetric_transfer_error
+
+        k_h, _ = jax.random.split(key)
+        H, _, num_h = homography_ransac(
+            k_h, uv1, uv2, mask, jnp.full(uv1.shape[0], thres_px_sq, uv1.dtype),
+            num_hypotheses=32,
+        )
+        err_h = symmetric_transfer_error(H, uv1, uv2)
+        num_h_tight = jnp.sum(
+            ((err_h < thres_px_sq / 16.0) & mask).astype(jnp.int32), -1)
+        planar = (
+            (num_h.astype(curves.dtype)
+             >= 0.85 * jnp.maximum(fr.num_inliers, 1).astype(curves.dtype))
+            & (num_h_tight.astype(curves.dtype)
+               > 0.5 * jnp.maximum(num_h, 1).astype(curves.dtype))
+        )
+        w_pair = jnp.where(planar, 0.0, w_pair)
     # self-normalize each pair's curve: a flat (degenerate-geometry) curve
     # becomes ~1 everywhere and contributes no gradient; informative pairs
     # contribute a dip at the true focal
@@ -222,10 +251,15 @@ def estimate_focal_from_flows(
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    xs = np.arange(24, width - 24, grid_step)
-    ys = np.arange(24, height - 24, grid_step)
+    mx = min(24, max(2, width // 8))
+    my = min(24, max(2, height // 8))
+    xs = np.arange(mx, width - mx, grid_step)
+    ys = np.arange(my, height - my, grid_step)
     gx, gy = np.meshgrid(xs, ys)
     grid = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+    if len(grid) < 64:  # image too small to carry a focal signal
+        return {"focal": float(max(height, width)), "confidence": 0.0,
+                "num_pairs": 0, "dip": 1.0, "interior": False}
     if len(grid) > max_points:
         grid = grid[rng.choice(len(grid), max_points, replace=False)]
 

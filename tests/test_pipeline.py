@@ -118,6 +118,11 @@ def test_flow_stage_single_stream(tmp_path):
     args = build_arg_parser().parse_args(
         ["--image_dir", "x", "--output_dir", str(tmp_path)])
     cfg = config_from_args(args)
+    # this test checks pair INDEXING through the fused stream: the fake net's
+    # identifiable constant flows must come back verbatim, so the photometric
+    # post-passes (which would rightly alter them) are off
+    cfg.flow.photometric_refine = False
+    cfg.flow.selfcal = False
     flows = stages.flow_stage(images, tmp_path, cfg, fake_raft, log=lambda *a: None)
 
     assert len(calls) == 1                       # one fused stream
