@@ -157,7 +157,7 @@ def flow_stage(
     # — removes the net's spatially structured sub-pixel bias that metric SfM
     # would otherwise inherit. External (reused) flow is respected as-is.
     if cfg.flow.photometric_refine:
-        from ..flow.refine import photometric_refine
+        from ..flow.refine import photometric_refine_scheduled
 
         B = 8
         for (name, stride, d, npairs), ia, ib in zip(todo, ia_all, ib_all):
@@ -172,15 +172,15 @@ def flow_stage(
                     i1 = np.concatenate([i1, i1[-1:].repeat(pad, 0)])
                     i2 = np.concatenate([i2, i2[-1:].repeat(pad, 0)])
                     f0 = np.concatenate([f0, f0[-1:].repeat(pad, 0)])
-                ref = np.asarray(photometric_refine(
+                ref = np.asarray(photometric_refine_scheduled(
                     jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(f0),
-                    iters=cfg.flow.refine_iters,
+                    schedule=cfg.flow.refine_schedule,
                     max_total=cfg.flow.refine_max_total_px,
                 ))
                 out.append(ref[:B - pad] if pad else ref)
             result[name] = np.concatenate(out)
             log(f"[flow] {name}: photometric refinement "
-                f"({cfg.flow.refine_iters} GN iters)")
+                f"(schedule {cfg.flow.refine_schedule})")
 
     # stride-2 safety net (see FlowConfig.stride2_compose_disagree_px): only
     # for freshly computed stride-2 — externally supplied flow is respected

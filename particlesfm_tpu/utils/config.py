@@ -46,8 +46,12 @@ class FlowConfig:
     # self-calibration 15% high on raw net flow, 2% after refinement; EPE
     # 0.45 -> 0.24 at protocol scale). Applied only to freshly computed flow.
     photometric_refine: bool = True
-    refine_iters: int = 4               # more iterations over-fit the robust
-                                        # threshold and slowly degrade (measured)
+    # window-annealing schedule, tuple of (iters, window_sigma, window_radius):
+    # wide-window phase pulls structured bias out, tight phase sharpens the
+    # subpixel optimum (measured: EPE 0.237 fixed-window -> 0.217, selfcal
+    # focal +3.3% -> +1.1% of GT). More total iterations over-fit the robust
+    # threshold and slowly degrade (measured).
+    refine_schedule: Tuple = ((2, 3.5, 7), (3, 1.5, 3))
     refine_max_total_px: float = 3.0    # trust region around the net's flow
     # shared-focal self-calibration from refined flow correspondences
     # (globalsfm/selfcal.py), persisted as selfcal.json for the SfM stage

@@ -100,3 +100,22 @@ def test_batched_matches_single():
     np.testing.assert_allclose(batched[0], batched[1], atol=1e-6)
     # RGB with equal channels == grayscale path
     np.testing.assert_allclose(batched[0], single, atol=1e-4)
+
+
+def test_scheduled_refinement_and_anchored_trust_region():
+    rng = np.random.default_rng(4)
+    I1, I2, gt = _pair_with_gt_flow(rng)
+    flow0 = gt + 0.8
+    from particlesfm_tpu.flow.refine import photometric_refine_scheduled
+    out = np.asarray(photometric_refine_scheduled(
+        jnp.asarray(np.stack([I1])[..., None].repeat(3, -1)),
+        jnp.asarray(np.stack([I2])[..., None].repeat(3, -1)),
+        jnp.asarray(np.stack([flow0])), max_total=1.5))[0]
+    inner = (slice(8, -8), slice(8, -8))
+    err0 = np.linalg.norm((flow0 - gt)[inner], axis=-1).mean()
+    err1 = np.linalg.norm((out - gt)[inner], axis=-1).mean()
+    assert err1 < 0.35 * err0
+    # trust region is anchored at the ORIGINAL flow across phases: total
+    # correction never exceeds max_total even though two phases ran
+    d = np.linalg.norm(out - flow0, axis=-1)
+    assert d.max() <= 1.5 + 1e-4
