@@ -3,8 +3,8 @@
 Counterpart of the reference's motion_seg.mp4 writer
 (/root/reference/motion_seg/main_motion_segmentation.py:114-119): trajectory
 points drawn over each frame, red = dynamic, green = static. This environment
-has no video codecs, so the artifact is per-frame PNGs + an animated GIF
-(visually equivalent; the reference's mp4 is likewise a debugging aid).
+has no video codecs, so the artifacts are per-frame PNGs, an animated GIF and
+an MJPEG AVI (io/avi.py — plays everywhere, needs no codec library).
 """
 from __future__ import annotations
 
@@ -45,3 +45,6 @@ def write_overlay_video(out_dir, images: np.ndarray, tracks: TrackArrays,
     if frames:
         frames[0].save(out / gif_name, save_all=True, append_images=frames[1:],
                        duration=int(1000 / fps), loop=0)
+        from ..io.avi import write_mjpeg_avi
+
+        write_mjpeg_avi(out / (Path(gif_name).stem + ".avi"), frames, fps=fps)

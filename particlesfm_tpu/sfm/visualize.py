@@ -1,10 +1,13 @@
 """Reconstruction viewer export CLI — counterpart of /root/reference/visualize.py.
 
 The reference opens an interactive Open3D window (pycolmap + camera frustums,
-visualize.py:15-67); headless environments get the same content as a PLY
-(points + red camera centers + frustum edges) for any external viewer.
+visualize.py:15-67); headless environments get the same content two ways:
+a PLY (points + red camera centers + frustum edges) for any external viewer,
+and a self-contained interactive HTML viewer (html_viewer.py — vanilla WebGL
+orbit/zoom/pan, data embedded, opens in any browser with no network).
 
-Usage: python -m particlesfm_tpu.sfm.visualize -i sfm/model -o model.ply
+Usage: python -m particlesfm_tpu.sfm.visualize -i sfm/model -o model.ply \
+           [-w model.html]
 """
 from __future__ import annotations
 
@@ -26,6 +29,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-i", "--input_model", required=True)
     ap.add_argument("-o", "--output_ply", default=None)
+    ap.add_argument("-w", "--output_html", default=None,
+                    help="also write a self-contained interactive HTML viewer")
     args = ap.parse_args(argv)
 
     from ..io import colmap_model as cm
@@ -60,6 +65,18 @@ def main(argv=None):
     )
     Path(out).write_text(header + "\n".join(rows) + "\n")
     print(f"wrote {out}: {len(points)} points, {len(images)} cameras")
+
+    if args.output_html:
+        from .html_viewer import frusta_from_images, write_html_viewer
+
+        xyz = (np.asarray([p.xyz for p in points.values()], np.float32)
+               if points else np.zeros((0, 3), np.float32))
+        rgb = (np.asarray([p.rgb for p in points.values()], np.uint8)
+               if points else np.zeros((0, 3), np.uint8))
+        segs = frusta_from_images(images, rot.quat_to_rotmat, scale)
+        write_html_viewer(args.output_html, xyz, rgb, segs,
+                          name=str(model_dir))
+        print(f"wrote {args.output_html}")
     return 0
 
 

@@ -34,7 +34,26 @@ def test_overlay_video(tmp_path):
     tracks = TrackArrays(xy=xy, mask=mask, labels=labels)
     write_overlay_video(tmp_path, images, tracks)
     assert (tmp_path / "motion_seg.gif").exists()
+    assert (tmp_path / "motion_seg.avi").exists()
     assert len(list(tmp_path.glob("overlay_*.png"))) == T
+
+
+def test_mjpeg_avi_roundtrip(tmp_path):
+    from particlesfm_tpu.io.avi import read_mjpeg_avi_frames, write_mjpeg_avi
+
+    rng = np.random.default_rng(3)
+    # constant-color frames so JPEG lossiness stays tiny
+    frames = [np.full((24, 32, 3), c, np.uint8) for c in (10, 120, 230)]
+    path = tmp_path / "clip.avi"
+    write_mjpeg_avi(path, frames, fps=5)
+    data = path.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert len(data) == 8 + int.from_bytes(data[4:8], "little")
+    back = read_mjpeg_avi_frames(path)
+    assert len(back) == 3
+    for orig, dec in zip(frames, back):
+        assert dec.shape == orig.shape
+        assert np.max(np.abs(dec.astype(int) - orig.astype(int))) <= 4
 
 
 def test_reconstruction_viewer_cli(tmp_path):
@@ -50,10 +69,15 @@ def test_reconstruction_viewer_cli(tmp_path):
     rec = run_global_mapper(sc["tracks"], sc["height"], sc["width"], SfmConfig(),
                             log=lambda *a: None)
     write_colmap_model(rec, tmp_path / "model")
-    rc = viz_main(["-i", str(tmp_path / "model"), "-o", str(tmp_path / "out.ply")])
+    rc = viz_main(["-i", str(tmp_path / "model"), "-o", str(tmp_path / "out.ply"),
+                   "-w", str(tmp_path / "out.html")])
     assert rc == 0
     txt = (tmp_path / "out.ply").read_text()
     assert txt.startswith("ply") and "end_header" in txt
+    html = (tmp_path / "out.html").read_text()
+    assert html.startswith("<!DOCTYPE html>") and "__POS_B64__" not in html
+    # cameras made it into the embedded metadata
+    assert '"num_cameras": 6' in html
 
 
 def test_ply_nvm_bundler_vrml_exports(tmp_path):
