@@ -90,12 +90,19 @@ def load_flow_apply(ckpt, iters: int = 12):
     return apply
 
 
-def load_flow_apply_batch(ckpt, iters=None):
+def load_flow_apply_batch(ckpt, iters=None, scale: float = 1.0):
     """Batched `apply(img1s, img2s) -> flows [B, H, W, 2]` (vmapped over pairs;
     under a pjit mesh the leading pair axis shards data-parallel).
 
     iters=None uses the GRU-iteration count recorded in the checkpoint meta
-    (the count the net was validated at); an explicit int always wins."""
+    (the count the net was validated at); an explicit int always wins.
+
+    scale < 1 runs the net at reduced resolution and bilinearly upsamples the
+    (rescaled) flow back to full resolution. The net's correlation lookup is
+    gather-bound on TPU (cost ~ pixels x GRU iters; XLA gathers run far below
+    HBM bandwidth), so scale=0.5 is ~4x cheaper; the sub-pixel detail lost is
+    recovered by the photometric refinement stage, which runs at full
+    resolution against the original pair (flow/refine.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +114,18 @@ def load_flow_apply_batch(ckpt, iters=None):
         with jax.default_matmul_precision("default"):
             return model.apply({"params": params}, img1, img2, iters=n_iters)
 
-    run = jax.jit(jax.vmap(_one))
+    @jax.jit
+    def run(img1s, img2s):
+        B, H, W, _ = img1s.shape
+        if scale != 1.0:
+            hs = int(round(H * scale / 8.0)) * 8
+            ws = int(round(W * scale / 8.0)) * 8
+            i1 = jax.image.resize(img1s, (B, hs, ws, 3), "bilinear")
+            i2 = jax.image.resize(img2s, (B, hs, ws, 3), "bilinear")
+            fl = jax.vmap(_one)(i1, i2)
+            fl = jax.image.resize(fl, (B, H, W, 2), "bilinear")
+            return fl * jnp.asarray([W / ws, H / hs], fl.dtype)
+        return jax.vmap(_one)(img1s, img2s)
 
     def apply(img1s, img2s):
         img1s = jnp.asarray(img1s, jnp.float32)
@@ -123,7 +141,85 @@ def load_flow_apply_batch(ckpt, iters=None):
     return apply
 
 
-def load_flow_apply_sharded(ckpt, iters=None, mesh=None, per_device: int = 8):
+def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
+                          scale: float = 1.0):
+    """Pair-indexed flow apply against a device-resident frame stack.
+
+    Returns `apply(stack, ia, ib) -> flows [N, H, W, 2] (device)` where `stack`
+    is the full uint8 frame stack [T, H, W, 3] (device array or host; uploaded
+    once) and ia/ib are frame indices per pair. Motivation: the tunneled TPU
+    moves host<->device data at tens of MB/s, so sending every pair as two f32
+    images (the reference's per-pair GPU loop shape) costs more than the net
+    itself — one 64 MB uint8 upload + on-device pair indexing replaces ~2.6 GB
+    of H2D traffic for a 48-frame sequence, and outputs stay on device for the
+    refinement/selfcal/tracking consumers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel.mesh import data_sharding, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    nd = int(np.prod(list(mesh.shape.values())))
+    block = per_device * nd
+
+    params, meta = load_flow_checkpoint(ckpt)
+    model = model_from_meta(meta)
+    n_iters = int(iters) if iters is not None else int(meta.get("iters", 12))
+
+    def _one(img1, img2):
+        with jax.default_matmul_precision("default"):
+            return model.apply({"params": params}, img1, img2, iters=n_iters)
+
+    @jax.jit
+    def run_block(stack, ia, ib):
+        i1 = stack[ia].astype(jnp.float32)
+        i2 = stack[ib].astype(jnp.float32)
+        B, H, W, _ = i1.shape
+        ph = (-H) % 8
+        pw = (-W) % 8
+        if ph or pw:
+            i1 = jnp.pad(i1, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            i2 = jnp.pad(i2, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        Hp, Wp = i1.shape[1], i1.shape[2]
+        if scale != 1.0:
+            hs = int(round(Hp * scale / 8.0)) * 8
+            ws = int(round(Wp * scale / 8.0)) * 8
+            i1 = jax.image.resize(i1, (B, hs, ws, 3), "bilinear")
+            i2 = jax.image.resize(i2, (B, hs, ws, 3), "bilinear")
+            fl = jax.vmap(_one)(i1, i2)
+            fl = jax.image.resize(fl, (B, Hp, Wp, 2), "bilinear")
+            fl = fl * jnp.asarray([Wp / ws, Hp / hs], fl.dtype)
+        else:
+            fl = jax.vmap(_one)(i1, i2)
+        return fl[:, :H, :W]
+
+    idx_sharding = data_sharding(mesh, 1)
+
+    def apply(stack, ia, ib):
+        stack = jax.device_put(jnp.asarray(stack))      # replicated, once
+        ia = np.asarray(ia, np.int32)
+        ib = np.asarray(ib, np.int32)
+        N = len(ia)
+        out = []
+        for k in range(0, N, block):
+            a, b = ia[k:k + block], ib[k:k + block]
+            pad = block - len(a)
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad)])
+                b = np.concatenate([b, np.repeat(b[-1:], pad)])
+            da = jax.device_put(jnp.asarray(a), idx_sharding)
+            db = jax.device_put(jnp.asarray(b), idx_sharding)
+            fl = run_block(stack, da, db)
+            out.append(fl[: N - k] if pad else fl)
+        return jnp.concatenate(out, 0) if len(out) > 1 else out[0]
+
+    return apply
+
+
+def load_flow_apply_sharded(ckpt, iters=None, mesh=None, per_device: int = 8,
+                            scale: float = 1.0):
     """Flow apply over an arbitrary pair list, data-parallel over a device mesh.
 
     Returns `apply(img1s, img2s) -> flows [N, H, W, 2]` that processes pairs in
@@ -142,7 +238,7 @@ def load_flow_apply_sharded(ckpt, iters=None, mesh=None, per_device: int = 8):
         mesh = make_mesh()
     nd = int(np.prod(list(mesh.shape.values())))
     block = per_device * nd
-    base = load_flow_apply_batch(ckpt, iters=iters)
+    base = load_flow_apply_batch(ckpt, iters=iters, scale=scale)
 
     sharding = data_sharding(mesh, 4)
 

@@ -51,16 +51,28 @@ def _gaussian_kernel1d(sigma: float, radius: int, dtype):
 
 
 def _window_filter(x, k1d):
-    """Separable Gaussian window sum over the last two dims. x: [..., H, W]."""
+    """Separable Gaussian window sum over the last two dims. x: [..., H, W].
+
+    TPU note: all leading dims are folded into the CHANNEL axis of one
+    depthwise NHWC conv pair — a [K,1,H,W] batch of single-channel convs
+    runs ~20x slower on TPU than one [1,H,W,K] depthwise conv (measured
+    772 ms vs 37 ms for 6 fields at 1024x436 x8 pairs, radius 7)."""
     batch = x.shape[:-2]
     H, W = x.shape[-2:]
-    xb = x.reshape((-1, 1, H, W))
+    K = 1
+    for b in batch:
+        K *= b
+    xb = jnp.moveaxis(x.reshape((K, H, W)), 0, -1)[None]       # [1, H, W, K]
     r = (k1d.shape[0] - 1) // 2
-    kh = k1d.reshape(1, 1, -1, 1)
-    kw = k1d.reshape(1, 1, 1, -1)
-    y = jax.lax.conv_general_dilated(xb, kh, (1, 1), [(r, r), (0, 0)])
-    y = jax.lax.conv_general_dilated(y, kw, (1, 1), [(0, 0), (r, r)])
-    return y.reshape(batch + (H, W))
+    kh = jnp.tile(k1d.reshape(-1, 1, 1, 1), (1, 1, 1, K))
+    kw = jnp.tile(k1d.reshape(1, -1, 1, 1), (1, 1, 1, K))
+    y = jax.lax.conv_general_dilated(
+        xb, kh, (1, 1), [(r, r), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=K)
+    y = jax.lax.conv_general_dilated(
+        y, kw, (1, 1), [(0, 0), (r, r)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=K)
+    return jnp.moveaxis(y[0], -1, 0).reshape(batch + (H, W))
 
 
 def _gradients(img):
@@ -96,6 +108,9 @@ def photometric_refine_pair(
     I2 = _grayscale(img2).astype(dtype)
     H, W = I1.shape
     gx2, gy2 = _gradients(I2)
+    # one 3-channel image so each iteration does ONE bilinear gather
+    # (3 separate 1-channel gathers measured 3.2x slower on TPU)
+    I2s = jnp.stack([I2, gx2, gy2], axis=-1)               # [H, W, 3]
     k1d = _gaussian_kernel1d(window_sigma, window_radius, dtype)
 
     ys, xs = jnp.mgrid[0:H, 0:W]
@@ -104,9 +119,8 @@ def photometric_refine_pair(
     def body(u, _):
         pos = grid + u                                     # [H, W, 2]
         flat = pos.reshape(-1, 2)
-        I2w = bilinear_sample(I2[..., None], flat)[..., 0].reshape(H, W)
-        gxw = bilinear_sample(gx2[..., None], flat)[..., 0].reshape(H, W)
-        gyw = bilinear_sample(gy2[..., None], flat)[..., 0].reshape(H, W)
+        wrp = bilinear_sample(I2s, flat).reshape(H, W, 3)
+        I2w, gxw, gyw = wrp[..., 0], wrp[..., 1], wrp[..., 2]
         r = I2w - I1
         inb = (
             (pos[..., 0] >= 1.0) & (pos[..., 0] <= W - 2.0)
@@ -114,12 +128,16 @@ def photometric_refine_pair(
         )
         w = (jnp.abs(r) < robust_thresh) & inb
         wf = w.astype(dtype)
-        A11 = _window_filter(wf * gxw * gxw, k1d) + damp
-        A12 = _window_filter(wf * gxw * gyw, k1d)
-        A22 = _window_filter(wf * gyw * gyw, k1d) + damp
-        b1 = -_window_filter(wf * gxw * r, k1d)
-        b2 = -_window_filter(wf * gyw * r, k1d)
-        wsum = _window_filter(wf, k1d)
+        # all six window sums ride one depthwise conv pair (channel-stacked)
+        fields = jnp.stack(
+            [wf * gxw * gxw, wf * gxw * gyw, wf * gyw * gyw,
+             wf * gxw * r, wf * gyw * r, wf], axis=0)
+        fA11, fA12, fA22, fb1, fb2, wsum = _window_filter(fields, k1d)
+        A11 = fA11 + damp
+        A12 = fA12
+        A22 = fA22 + damp
+        b1 = -fb1
+        b2 = -fb2
         det = A11 * A22 - A12 * A12
         du = jnp.stack(
             [(A22 * b1 - A12 * b2), (A11 * b2 - A12 * b1)], axis=-1

@@ -85,10 +85,11 @@ def _load_raft_apply(cfg: Config):
         ckpt = str(DEFAULT_RAFT_CKPT)
     if ckpt is None:
         return None
-    from ..flow.infer import load_flow_apply_sharded
+    from ..flow.infer import load_flow_apply_pairs
 
-    return load_flow_apply_sharded(
-        ckpt, iters=cfg.flow.iters, per_device=cfg.flow.per_device
+    return load_flow_apply_pairs(
+        ckpt, iters=cfg.flow.iters, per_device=cfg.flow.per_device,
+        scale=cfg.flow.infer_scale,
     )
 
 

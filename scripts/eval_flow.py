@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=8,
                     help="pairs sampled per sequence and stride")
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="net inference resolution fraction (flow/infer.py)")
+    ap.add_argument("--refine", action="store_true",
+                    help="score after full-res photometric refinement")
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -36,7 +40,21 @@ def main(argv=None):
 
     data = Path(args.data_dir)
     seqs = args.seqs or sorted(p.name for p in (data / "seqs").iterdir())
-    apply = load_flow_apply_batch(args.ckpt, iters=args.iters)
+    apply = load_flow_apply_batch(args.ckpt, iters=args.iters, scale=args.scale)
+    refine = None
+    if args.refine:
+        import jax.numpy as jnp
+
+        from particlesfm_tpu.flow.refine import photometric_refine_scheduled
+        from particlesfm_tpu.utils.config import FlowConfig
+
+        fcfg = FlowConfig()
+
+        def refine(i1, i2, fl):
+            return np.asarray(photometric_refine_scheduled(
+                jnp.asarray(i1 / 255.0), jnp.asarray(i2 / 255.0),
+                jnp.asarray(fl), schedule=fcfg.refine_schedule,
+                max_total=fcfg.refine_max_total_px))
 
     all_epe = {1: [], 2: []}
     t0 = time.time()
@@ -54,6 +72,8 @@ def main(argv=None):
             i2 = np.stack([np.asarray(Image.open(imgs[i + stride]), np.float32) for i in sel])
             gt = np.stack([flo_io.read_flo(gts[i]) for i in sel])
             pred = np.asarray(apply(i1, i2))
+            if refine is not None:
+                pred = refine(i1, i2, pred)
             epe = np.linalg.norm(pred - gt, axis=-1).mean(axis=(1, 2))
             all_epe[stride].extend(epe.tolist())
             npairs += len(sel)

@@ -106,13 +106,18 @@ def test_flow_stage_single_stream(tmp_path):
 
     T, H, W = 5, 16, 24
     rng = np.random.default_rng(0)
-    images = rng.uniform(0, 255, (T, H, W, 3)).astype(np.float32)
+    # integral values: the stage device-uploads frames as uint8 (PNG range)
+    images = rng.integers(0, 256, (T, H, W, 3)).astype(np.float32)
     calls = []
 
-    def fake_raft(i1, i2):
-        calls.append((np.asarray(i1).copy(), np.asarray(i2).copy()))
-        # encode (mean_i1 - mean_i2) so each pair's flow is identifiable
-        d = i1.mean(axis=(1, 2, 3)) - i2.mean(axis=(1, 2, 3))
+    def fake_raft(stack, ia, ib):
+        # pair-indexed contract (flow/infer.load_flow_apply_pairs): the full
+        # frame stack plus per-pair frame indices
+        stack = np.asarray(stack, np.float32)
+        ia = np.asarray(ia)
+        ib = np.asarray(ib)
+        calls.append((stack[ia], stack[ib]))
+        d = stack[ia].mean(axis=(1, 2, 3)) - stack[ib].mean(axis=(1, 2, 3))
         return np.tile(d[:, None, None, None], (1, H, W, 2)).astype(np.float32)
 
     args = build_arg_parser().parse_args(
