@@ -198,4 +198,64 @@ void psfm_covisibility(int64_t num_tracks, int32_t num_frames,
   }
 }
 
+// Per-pair padded correspondence tensors (build_pair_tensors semantics):
+// for each kept pair (i, j), stream the tracks observed in both frames in
+// track order; when a pair has more than max_m common tracks, keep the
+// caller-provided sorted random positions. One O(sum L^2) pass over tracks
+// instead of E passes over the [N] mask columns.
+void psfm_build_pair_tensors(int64_t num_tracks, int32_t num_frames,
+                             const uint8_t* mask /* [N,T] */,
+                             const float* xy /* [N,T,2] */, int32_t max_m,
+                             int64_t num_pairs,
+                             const int32_t* pairs /* [E,2] */,
+                             const int32_t* counts /* [E] */,
+                             const int64_t* sel /* [E,M] sorted positions among
+                                 the pair's common tracks; only read when
+                                 counts[e] > max_m (random subset chosen by the
+                                 caller — a deterministic stride aliases with
+                                 the tracker's row-major spawn grid and
+                                 concentrates samples on image columns) */,
+                             float* uv1 /* [E,M,2] */, float* uv2,
+                             uint8_t* pmask /* [E,M] */,
+                             int64_t* tidx /* [E,M] */) {
+  // pair id lookup
+  std::vector<int64_t> pid(static_cast<int64_t>(num_frames) * num_frames, -1);
+  for (int64_t e = 0; e < num_pairs; ++e)
+    pid[pairs[2 * e] * num_frames + pairs[2 * e + 1]] = e;
+  // per-pair cursors: c = index among common tracks seen so far,
+  // w = next output slot, next_sel = c value of the next selected track
+  std::vector<int64_t> ccur(num_pairs, 0), wcur(num_pairs, 0);
+  for (int64_t e = 0; e < num_pairs; ++e) {
+    std::memset(pmask + e * max_m, 0, max_m);
+    for (int32_t k = 0; k < max_m; ++k) tidx[e * max_m + k] = -1;
+  }
+  auto sel_pos = [&](int64_t e, int64_t k) -> int64_t {
+    if (counts[e] <= max_m) return k;
+    return sel[e * max_m + k];
+  };
+  std::vector<int32_t> frames;
+  frames.reserve(num_frames);
+  for (int64_t n = 0; n < num_tracks; ++n) {
+    frames.clear();
+    const uint8_t* m = mask + n * num_frames;
+    for (int32_t t = 0; t < num_frames; ++t)
+      if (m[t]) frames.push_back(t);
+    for (size_t a = 0; a < frames.size(); ++a)
+      for (size_t b = a + 1; b < frames.size(); ++b) {
+        int64_t e = pid[frames[a] * num_frames + frames[b]];
+        if (e < 0) continue;
+        int64_t c = ccur[e]++;
+        int64_t w = wcur[e];
+        if (w >= max_m || c != sel_pos(e, w)) continue;
+        uv1[(e * max_m + w) * 2] = xy[(n * num_frames + frames[a]) * 2];
+        uv1[(e * max_m + w) * 2 + 1] = xy[(n * num_frames + frames[a]) * 2 + 1];
+        uv2[(e * max_m + w) * 2] = xy[(n * num_frames + frames[b]) * 2];
+        uv2[(e * max_m + w) * 2 + 1] = xy[(n * num_frames + frames[b]) * 2 + 1];
+        pmask[e * max_m + w] = 1;
+        tidx[e * max_m + w] = n;
+        wcur[e] = w + 1;
+      }
+  }
+}
+
 }  // extern "C"

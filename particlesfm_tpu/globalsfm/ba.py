@@ -39,6 +39,7 @@ class BAState(NamedTuple):
     params: jnp.ndarray   # [5] shared intrinsics (focal possibly refined)
     cost: jnp.ndarray     # scalar robust cost
     lam: jnp.ndarray      # final LM damping
+    iters: jnp.ndarray    # LM iterations actually run (early-exit telemetry)
 
 
 def _residuals_jacobians(q, t, params, X, obs: TrackObs, w_obs):
@@ -380,16 +381,41 @@ def _bundle_adjust_impl(
         X = jnp.where(accept, X_new, X)
         params = jnp.where(accept, params_new, params)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 3.0, 1e8))
-        return (q, t, X, params, lam), cost0
+        return (q, t, X, params, lam), (cost0, cost1)
 
-    (q, t, X, params, lam), costs = jax.lax.scan(
-        lm_step,
-        (q, t, X, params, jnp.asarray(init_lam, X.dtype)),
-        None,
-        length=max_iterations,
+    # early-terminating LM (Ceres function_tolerance semantics): the
+    # refinement loop calls BA ~10 times per scene and every call after the
+    # first starts near-converged, so a fixed `max_iterations` scan wastes
+    # most of its steps (measured 4.4 s/round at 32k tracks, length=50).
+    # Terminate on 2 consecutive ACCEPTED steps with relative improvement
+    # < rtol, or 24 consecutive rejections (lambda re-adaptation exhausted:
+    # recovering from the 1e-10 floor to ~1e-2 takes ~19 rejects at x3/step,
+    # so a smaller cap cuts live optimizations short — measured as ATE
+    # regressions on the orbit tests at a cap of 8).
+    rtol = 1e-7
+
+    def _cond(carry):
+        *_, it, stall, rej = carry
+        return (it < max_iterations) & (stall < 2) & (rej < 24)
+
+    def _body(carry):
+        q, t, X, params, lam, it, stall, rej = carry
+        (q, t, X, params, lam), (c0, c1) = lm_step((q, t, X, params, lam), None)
+        accepted = c1 < c0
+        impr = (c0 - c1) / jnp.maximum(c0, 1e-30)
+        stall = jnp.where(accepted, jnp.where(impr < rtol, stall + 1, 0), stall)
+        rej = jnp.where(accepted, 0, rej + 1)
+        return (q, t, X, params, lam, it + 1, stall, rej)
+
+    (q, t, X, params, lam, n_it, _, _) = jax.lax.while_loop(
+        _cond, _body,
+        (q, t, X, params, jnp.asarray(init_lam, X.dtype),
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32)),
     )
     _, final_cost = _robust_weights(q, t, params, X, obs, loss_scale, use_soft_l1, pm)
-    return BAState(q=q, t=t, X=X, params=params, cost=R(final_cost), lam=lam)
+    return BAState(q=q, t=t, X=X, params=params, cost=R(final_cost), lam=lam,
+                   iters=n_it)
 
 
 bundle_adjust = partial(

@@ -61,6 +61,9 @@ def _get() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32, u8p, f32p,
             ctypes.c_int32, ctypes.c_int32, i32p, f32p, u8p, i64p]
         lib.psfm_covisibility.argtypes = [ctypes.c_int64, ctypes.c_int32, u8p, i32p]
+        lib.psfm_build_pair_tensors.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, u8p, f32p, ctypes.c_int32,
+            ctypes.c_int64, i32p, i32p, i64p, f32p, f32p, u8p, i64p]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -118,6 +121,33 @@ def build_observations(mask: np.ndarray, xy: np.ndarray, min_len: int, max_obs: 
         N, T, mask_u8, xy_f, min_len, max_obs, frame_idx, uv, omask, rows
     )
     return frame_idx[:k], uv[:k], omask[:k].astype(bool), rows[:k]
+
+
+def build_pair_tensors(mask: np.ndarray, xy: np.ndarray, pairs: np.ndarray,
+                       counts: np.ndarray, max_m: int, sel: np.ndarray):
+    """Fill per-pair padded correspondence tensors (one O(sum L^2) pass).
+
+    `sel` [E, max_m] int64: sorted positions (among each pair's common tracks)
+    to keep when counts[e] > max_m; ignored otherwise."""
+    lib = _get()
+    if lib is None:
+        return None
+    N, T = mask.shape
+    E = len(pairs)
+    mask_u8 = np.ascontiguousarray(mask, np.uint8)
+    xy_f = np.ascontiguousarray(xy, np.float32)
+    pairs_i = np.ascontiguousarray(pairs, np.int32)
+    counts_i = np.ascontiguousarray(counts, np.int32)
+    sel_i = np.ascontiguousarray(sel, np.int64)
+    uv1 = np.zeros((E, max_m, 2), np.float32)
+    uv2 = np.zeros((E, max_m, 2), np.float32)
+    pmask = np.zeros((E, max_m), np.uint8)
+    tidx = np.full((E, max_m), -1, np.int64)
+    lib.psfm_build_pair_tensors(
+        N, T, mask_u8, xy_f, max_m, E, pairs_i, counts_i, sel_i,
+        uv1, uv2, pmask, tidx
+    )
+    return uv1, uv2, pmask.astype(bool), tidx
 
 
 def covisibility(mask: np.ndarray) -> Optional[np.ndarray]:

@@ -71,7 +71,8 @@ def sharded_bundle_adjust(
         mesh=mesh,
         in_specs=(rep, rep, rep, track,
                   TrackObs(frame_idx=track, uv=track, mask=track), rep, track),
-        out_specs=BAState(q=rep, t=rep, X=track, params=rep, cost=rep, lam=rep),
+        out_specs=BAState(q=rep, t=rep, X=track, params=rep, cost=rep, lam=rep,
+                          iters=rep),
         check_rep=False,
     )
     st = jax.jit(fn)(q, t, params, X, obs, free_mask, point_mask)

@@ -117,32 +117,44 @@ def _load_depth_apply(cfg: Config):
     from ..parallel.mesh import data_sharding, make_mesh
     import numpy as np
 
+    from ..models.depth import normalize_depth
+
     mesh = make_mesh()
     nd = int(np.prod(list(mesh.shape.values())))
     block = 4 * nd
-    sharding = data_sharding(mesh, 4)
-    def _one(im):
-        # net inference skips the package-global f32-highest matmul precision
-        # (geometry-solver setting); default keeps convs on the MXU fast path
-        with jax.default_matmul_precision("default"):
-            return model.apply(variables, im, train=False)
+    idx_sharding = data_sharding(mesh, 1)
 
-    run = jax.jit(jax.vmap(_one))
+    @jax.jit
+    def run_block(stack, idx):
+        def _one(im):
+            # net inference skips the package-global f32-highest matmul
+            # precision (geometry-solver setting); default keeps the MXU
+            # fast path. Per-frame normalization fuses in (the old path did
+            # 48 separate normalize round-trips through the tunnel).
+            with jax.default_matmul_precision("default"):
+                d = model.apply(variables, im, train=False)
+            return normalize_depth(d)
+
+        return jax.vmap(_one)(stack[idx].astype(jnp.float32))
 
     def apply(imgs):
-        """Batched (imgs [N, H, W, 3]) -> depths [N, H, W]; frame axis is
-        processed in fixed blocks sharded data-parallel over the device mesh
-        (the reference runs MiDaS one frame at a time on one GPU)."""
-        imgs = np.asarray(imgs, np.float32)
+        """Batched (imgs [N, H, W, 3] uint8-range) -> normalized depths
+        [N, H, W] in [0, 1]; the uint8 frame stack uploads once and frame
+        blocks shard data-parallel over the device mesh (the reference runs
+        MiDaS one frame at a time on one GPU)."""
+        stack = jax.device_put(
+            jnp.asarray(np.clip(np.round(np.asarray(imgs)), 0, 255), jnp.uint8))
+        N = len(imgs)
         out = []
-        for k in range(0, len(imgs), block):
-            b = imgs[k:k + block]
-            pad = block - len(b)
+        for k in range(0, N, block):
+            idx = np.arange(k, min(k + block, N), dtype=np.int32)
+            pad = block - len(idx)
             if pad:
-                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
-            db = jax.device_put(jnp.asarray(b), sharding)
-            out.append(np.asarray(run(db))[: len(imgs[k:k + block])])
-        return np.concatenate(out, 0)
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            di = jax.device_put(jnp.asarray(idx), idx_sharding)
+            d = run_block(stack, di).astype(jnp.float16)
+            out.append(d[: block - pad] if pad else d)
+        return np.concatenate([np.asarray(o, np.float32) for o in out], 0)
 
     return apply
 

@@ -308,16 +308,11 @@ def depth_stage(
             f"depth stage: no precomputed depth at {d} and no depth weights provided"
         )
     d.mkdir(parents=True, exist_ok=True)
-    from ..models.depth import normalize_depth
-
-    deps = np.asarray(depth_apply(images))               # batched, mesh-sharded
-    out = []
+    deps = np.asarray(depth_apply(images))   # batched + normalized on device
     for i in range(T):
-        dep = np.asarray(normalize_depth(jnp.asarray(deps[i])))
-        write_depth_png16(d / f"{i:06d}.png", dep)
-        out.append(dep)
+        write_depth_png16(d / f"{i:06d}.png", deps[i])
     log(f"[depth] computed {T} frames (batched)")
-    return np.stack(out)
+    return deps
 
 
 def motionseg_stage(

