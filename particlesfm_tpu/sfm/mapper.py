@@ -110,8 +110,15 @@ def run_global_mapper(
     """
     cfg = cfg or SfmConfig()
     rec = _run_global_mapper_once(tracks, height, width, cfg, params, log)
-    if rec.support < 0.5 and rec.num_registered >= 3:
-        log(f"[mapper] low support ({rec.support:.2f}); trying the complement model")
+    # retry trigger: low support AND compact image coverage. A dominant-object
+    # lock explains observations only inside the object's (moving, compact)
+    # image region; a broad-coverage model IS the background — its low support
+    # is track noise, and the complement (the rejected noise) cannot beat it
+    # (measured: complement scored 0 while doubling the stage runtime).
+    cov = _coverage_fraction(rec, height, width)
+    if rec.support < 0.5 and cov < 0.55 and rec.num_registered >= 3:
+        log(f"[mapper] low support ({rec.support:.2f}) with compact coverage "
+            f"({cov:.2f}); trying the complement model")
         used_rows = set(rec.track_row[rec.track_valid].tolist())
         comp_mask = tracks.mask.copy()
         for r in used_rows:
@@ -127,13 +134,9 @@ def run_global_mapper(
     return rec
 
 
-def _model_score(rec: Reconstruction, height: int, width: int,
-                 grid: int = 16) -> float:
-    """Disambiguation score: kept observations weighted by image coverage.
-
-    A dominant rigid object explains many observations but only in a compact,
-    moving image region; the true static background covers the frame. Coverage
-    = occupied fraction of a coarse cell grid over all kept observations."""
+def _coverage_fraction(rec: Reconstruction, height: int, width: int,
+                       grid: int = 16) -> float:
+    """Occupied fraction of a coarse image cell grid over kept observations."""
     sel = rec.obs_mask & rec.track_valid[:, None]
     if not sel.any():
         return 0.0
@@ -142,8 +145,19 @@ def _model_score(rec: Reconstruction, height: int, width: int,
     gy = np.clip((uv[:, 1] / max(height, 1) * grid).astype(int), 0, grid - 1)
     occupied = np.zeros((grid, grid), bool)
     occupied[gy, gx] = True
-    coverage = occupied.mean()
-    return float(sel.sum()) * float(coverage)
+    return float(occupied.mean())
+
+
+def _model_score(rec: Reconstruction, height: int, width: int,
+                 grid: int = 16) -> float:
+    """Disambiguation score: kept observations weighted by image coverage.
+
+    A dominant rigid object explains many observations but only in a compact,
+    moving image region; the true static background covers the frame."""
+    sel = rec.obs_mask & rec.track_valid[:, None]
+    if not sel.any():
+        return 0.0
+    return float(sel.sum()) * _coverage_fraction(rec, height, width, grid)
 
 
 def _run_global_mapper_once(
