@@ -72,9 +72,12 @@ def load_flow_apply(ckpt, iters: int = 12):
     params, meta = load_flow_checkpoint(ckpt)
     model = model_from_meta(meta)
     n_iters = int(meta.get("iters", iters))
+    params = jax.device_put(params)   # argument, NOT a closure: closed-over
+    # weights are baked into the HLO as constants (slow compiles, bloated
+    # executables, data-dependent persistent-cache keys)
 
     @jax.jit
-    def _run(img1, img2):
+    def _run(params, img1, img2):
         # the flow net does not need the package-global f32-highest matmuls;
         # default (bf16 passes on TPU) keeps the convs on the MXU fast path
         with jax.default_matmul_precision("default"):
@@ -85,7 +88,7 @@ def load_flow_apply(ckpt, iters: int = 12):
         img2 = jnp.asarray(img2, jnp.float32)
         p1, (H, W) = pad_to_multiple(img1)
         p2, _ = pad_to_multiple(img2)
-        return _run(p1, p2)[:H, :W]
+        return _run(params, p1, p2)[:H, :W]
 
     return apply
 
@@ -109,23 +112,25 @@ def load_flow_apply_batch(ckpt, iters=None, scale: float = 1.0):
     params, meta = load_flow_checkpoint(ckpt)
     model = model_from_meta(meta)
     n_iters = int(iters) if iters is not None else int(meta.get("iters", 12))
+    params = jax.device_put(params)   # argument, not a baked-in closure
 
-    def _one(img1, img2):
+    def _one(params, img1, img2):
         with jax.default_matmul_precision("default"):
             return model.apply({"params": params}, img1, img2, iters=n_iters)
 
     @jax.jit
-    def run(img1s, img2s):
+    def run(params, img1s, img2s):
         B, H, W, _ = img1s.shape
+        one = lambda a, b: _one(params, a, b)
         if scale != 1.0:
             hs = int(round(H * scale / 8.0)) * 8
             ws = int(round(W * scale / 8.0)) * 8
             i1 = jax.image.resize(img1s, (B, hs, ws, 3), "bilinear")
             i2 = jax.image.resize(img2s, (B, hs, ws, 3), "bilinear")
-            fl = jax.vmap(_one)(i1, i2)
+            fl = jax.vmap(one)(i1, i2)
             fl = jax.image.resize(fl, (B, H, W, 2), "bilinear")
             return fl * jnp.asarray([W / ws, H / hs], fl.dtype)
-        return jax.vmap(_one)(img1s, img2s)
+        return jax.vmap(one)(img1s, img2s)
 
     def apply(img1s, img2s):
         img1s = jnp.asarray(img1s, jnp.float32)
@@ -136,7 +141,7 @@ def load_flow_apply_batch(ckpt, iters=None, scale: float = 1.0):
         if ph or pw:
             img1s = jnp.pad(img1s, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
             img2s = jnp.pad(img2s, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        return run(img1s, img2s)[:, :H, :W]
+        return run(params, img1s, img2s)[:, :H, :W]
 
     return apply
 
@@ -167,13 +172,14 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
     params, meta = load_flow_checkpoint(ckpt)
     model = model_from_meta(meta)
     n_iters = int(iters) if iters is not None else int(meta.get("iters", 12))
+    params = jax.device_put(params)   # argument, not a baked-in closure
 
-    def _one(img1, img2):
+    def _one(img1, img2, params):
         with jax.default_matmul_precision("default"):
             return model.apply({"params": params}, img1, img2, iters=n_iters)
 
     @jax.jit
-    def run_block(stack, ia, ib):
+    def run_block(params, stack, ia, ib):
         i1 = stack[ia].astype(jnp.float32)
         i2 = stack[ib].astype(jnp.float32)
         B, H, W, _ = i1.shape
@@ -183,16 +189,17 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
             i1 = jnp.pad(i1, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
             i2 = jnp.pad(i2, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         Hp, Wp = i1.shape[1], i1.shape[2]
+        one = lambda a, b: _one(a, b, params)
         if scale != 1.0:
             hs = int(round(Hp * scale / 8.0)) * 8
             ws = int(round(Wp * scale / 8.0)) * 8
             i1 = jax.image.resize(i1, (B, hs, ws, 3), "bilinear")
             i2 = jax.image.resize(i2, (B, hs, ws, 3), "bilinear")
-            fl = jax.vmap(_one)(i1, i2)
+            fl = jax.vmap(one)(i1, i2)
             fl = jax.image.resize(fl, (B, Hp, Wp, 2), "bilinear")
             fl = fl * jnp.asarray([Wp / ws, Hp / hs], fl.dtype)
         else:
-            fl = jax.vmap(_one)(i1, i2)
+            fl = jax.vmap(one)(i1, i2)
         return fl[:, :H, :W]
 
     idx_sharding = data_sharding(mesh, 1)
@@ -211,7 +218,7 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
                 b = np.concatenate([b, np.repeat(b[-1:], pad)])
             da = jax.device_put(jnp.asarray(a), idx_sharding)
             db = jax.device_put(jnp.asarray(b), idx_sharding)
-            fl = run_block(stack, da, db)
+            fl = run_block(params, stack, da, db)
             out.append(fl[: N - k] if pad else fl)
         return jnp.concatenate(out, 0) if len(out) > 1 else out[0]
 

@@ -124,8 +124,10 @@ def _load_depth_apply(cfg: Config):
     block = 4 * nd
     idx_sharding = data_sharding(mesh, 1)
 
+    variables = jax.device_put(variables)   # argument, not a baked-in closure
+
     @jax.jit
-    def run_block(stack, idx):
+    def run_block(variables, stack, idx):
         def _one(im):
             # net inference skips the package-global f32-highest matmul
             # precision (geometry-solver setting); default keeps the MXU
@@ -152,7 +154,7 @@ def _load_depth_apply(cfg: Config):
             if pad:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
             di = jax.device_put(jnp.asarray(idx), idx_sharding)
-            d = run_block(stack, di).astype(jnp.float16)
+            d = run_block(variables, stack, di).astype(jnp.float16)
             out.append(d[: block - pad] if pad else d)
         return np.concatenate([np.asarray(o, np.float32) for o in out], 0)
 
@@ -192,8 +194,10 @@ def _load_seg_apply(cfg: Config):
     if "batch_stats" in blob:
         variables["batch_stats"] = blob["batch_stats"]
 
+    variables = jax.device_put(variables)   # argument, not a baked-in closure
+
     @jax.jit
-    def apply(traj, depth, valid):
+    def _apply(variables, traj, depth, valid):
         L = depth.shape[1]
         depth_r = jax.image.resize(
             depth, (depth.shape[0], L, input_hw[0], input_hw[1]), "bilinear"
@@ -203,6 +207,9 @@ def _load_seg_apply(cfg: Config):
         with jax.default_matmul_precision("default"):
             return model.apply(variables, traj, depth_r, valid, train=False)
 
+    def apply(traj, depth, valid):
+        return _apply(variables, traj, depth, valid)
+
     return apply
 
 
@@ -210,9 +217,9 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
     """Run the staged pipeline on one sequence (particlesfm() parity)."""
     from ..utils.profiling import StageTimer
 
-    timer = StageTimer()
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
+    timer = StageTimer(report_path=out / "timings.txt")
     save_config(cfg, out / "config.json")
     images, names = load_image_stack(image_dir)
     T, H, W = images.shape[:3]

@@ -14,9 +14,13 @@ from typing import Dict, Optional
 
 
 class StageTimer:
-    def __init__(self):
+    def __init__(self, report_path=None):
+        """report_path: optional file updated after EVERY stage, so an
+        externally budgeted caller (bench.py's SIGALRM fallback) always sees
+        the completed stages even if a later stage never finishes."""
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.report_path = report_path
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -27,6 +31,12 @@ class StageTimer:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            if self.report_path is not None:
+                try:
+                    with open(self.report_path, "w") as f:
+                        f.write(self.report() + "\n")
+                except OSError:
+                    pass
 
     def report(self) -> str:
         lines = ["stage timings:"]
