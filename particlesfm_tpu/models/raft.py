@@ -98,12 +98,9 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int =
     return pyramid
 
 
-def lookup_corr(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
-    """Sample (2r+1)^2 windows around coords in every pyramid level.
-
-    coords: [H, W, 2] target positions at 1/8 resolution (x, y).
-    Returns [H, W, num_levels*(2r+1)^2].
-    """
+def lookup_corr_gather(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Reference lookup via per-corner scalar gathers (kept for equivalence
+    tests; see lookup_corr for why it is not the production path)."""
     H, W, _ = coords.shape
     r = radius
     dx, dy = jnp.meshgrid(
@@ -142,6 +139,72 @@ def lookup_corr(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
             + wx * wy * gather(y0i + 1, x0i + 1)
         )
         out.append(val)
+    return jnp.concatenate(out, axis=-1).reshape(H, W, -1)
+
+
+def lookup_corr(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Sample (2r+1)^2 windows around coords in every pyramid level.
+
+    coords: [H, W, 2] target positions at 1/8 resolution (x, y).
+    Returns [H, W, num_levels*(2r+1)^2].
+
+    TPU formulation: the naive per-corner gather (lookup_corr_gather) issues
+    4 x 81 x levels SCALAR gathers per source pixel — measured ~90 ms per GRU
+    iteration at 1024x440 (the entire flow net ran at 0.7 pairs/s, and this
+    was ~90% of it). Instead:
+
+      1. gather each source pixel's (2r+2) FULL ROWS of its own correlation
+         map (contiguous lane-aligned vectors — the embedding-lookup pattern
+         XLA lowers efficiently), and
+      2. apply the bilinear x/y interpolation of all 81 offsets as two tiny
+         batched matmuls against per-pixel hat-function weight matrices
+         (separable bilinear: val[p,dy,dx] = Yw[p,:,dy]^T rows[p] Xw[p,:,dx]).
+
+    Numerically identical to the gather path (same clamp/validity semantics:
+    a hat weight over existing lanes is exactly the original's zeroed
+    out-of-bounds corner contributions).
+    """
+    H, W, _ = coords.shape
+    r = radius
+    nw = 2 * r + 2                     # rows spanning all dy in [-r, r] + 1
+    offs = jnp.arange(-r, r + 1, dtype=coords.dtype)           # [9]
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        HW, Hl, Wl = corr.shape[0], corr.shape[1], corr.shape[2]
+        c = coords.reshape(HW, 2) / (2.0 ** lvl)
+        cx, cy = c[..., 0], c[..., 1]                          # [HW]
+        y0 = jnp.floor(cy).astype(jnp.int32) - r               # [HW]
+        ri = y0[:, None] + jnp.arange(nw, dtype=jnp.int32)     # [HW, nw]
+        ri_c = jnp.clip(ri, 0, Hl - 1)
+        # row gather: [HW*Hl, Wl] indexed by p*Hl + row -> [HW, nw, Wl]
+        flat = corr.reshape(HW * Hl, Wl)
+        rows = jnp.take(
+            flat,
+            (jnp.arange(HW, dtype=jnp.int32)[:, None] * Hl + ri_c).reshape(-1),
+            axis=0,
+        ).reshape(HW, nw, Wl)
+        # x hat weights over lanes: [HW, Wl, 9]
+        lanes = jnp.arange(Wl, dtype=coords.dtype)
+        tx = cx[:, None] + offs[None, :]                       # [HW, 9]
+        Xw = jnp.maximum(
+            0.0, 1.0 - jnp.abs(lanes[None, :, None] - tx[:, None, :])
+        )
+        # y hat weights over gathered rows (zero where the UNCLIPPED row index
+        # falls outside the map — the gather path's validity mask): [HW, nw, 9]
+        ty = cy[:, None] + offs[None, :]                       # [HW, 9]
+        yin = ((ri >= 0) & (ri < Hl)).astype(coords.dtype)     # [HW, nw]
+        Yw = jnp.maximum(
+            0.0, 1.0 - jnp.abs(ri.astype(coords.dtype)[:, :, None] - ty[:, None, :])
+        ) * yin[:, :, None]
+        # separable bilinear of all 81 offsets as two batched matmuls; f32
+        # accumulation (these MACs are tiny — the net's default bf16 matmul
+        # precision would quantize the correlation values the gather path
+        # reads exactly)
+        t1 = jnp.einsum("pnw,pwj->pnj", rows, Xw,
+                        precision=jax.lax.Precision.HIGHEST)   # [HW, nw, 9(dx)]
+        val = jnp.einsum("pnk,pnj->pkj", Yw, t1,
+                         precision=jax.lax.Precision.HIGHEST)  # [HW, 9(dy), 9(dx)]
+        out.append(val.reshape(HW, (2 * r + 1) ** 2))
     return jnp.concatenate(out, axis=-1).reshape(H, W, -1)
 
 

@@ -4,7 +4,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from particlesfm_tpu.models.raft import RAFT, build_corr_pyramid, lookup_corr, upsample_flow_convex
+from particlesfm_tpu.models.raft import (RAFT, build_corr_pyramid, lookup_corr,
+                                         lookup_corr_gather,
+                                         upsample_flow_convex)
 from particlesfm_tpu.models.motionseg import TrajOADepth, augment_traj
 from particlesfm_tpu.models.depth import DepthNet, normalize_depth, scale_shift_invariant_loss
 
@@ -23,6 +25,23 @@ class TestRAFT:
         coords = jnp.stack([xs, ys], -1)
         corr = lookup_corr(pyr, coords, radius=2)
         assert corr.shape == (H, W, 3 * 25)
+
+    def test_lookup_matmul_matches_gather(self):
+        # the production row-gather + hat-matmul lookup must equal the
+        # per-corner scalar-gather reference, including out-of-bounds clamping
+        H, W, D = 8, 16, 32
+        rng = np.random.default_rng(3)
+        f1 = jnp.asarray(rng.normal(size=(H, W, D)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(H, W, D)), jnp.float32)
+        pyr = build_corr_pyramid(f1, f2, num_levels=3)
+        # fractional coords, some far outside the map
+        coords = jnp.asarray(
+            rng.uniform(-4, 20, size=(H, W, 2)), jnp.float32)
+        for radius in (1, 3, 4):
+            a = lookup_corr(pyr, coords, radius=radius)
+            b = lookup_corr_gather(pyr, coords, radius=radius)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
 
     def test_corr_identity_peak(self):
         # identical feature maps: the zero-offset correlation should be maximal
