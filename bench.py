@@ -109,9 +109,12 @@ def main():
 
     img_dir, gt_dir = ensure_sequence()
     nframes = len(list(img_dir.glob("*.png")))
+    # no --keep_intermediate: the pipeline's consumers read the device-resident
+    # flow directly and run_pipeline would delete the .flo dirs at the end
+    # anyway, so materializing them (~330 MB D2H through the tunnel) would be
+    # pure measurement overhead the reference's published SfM number never pays
     pargs = build_arg_parser().parse_args(
-        ["--image_dir", str(img_dir), "--output_dir", "/tmp/bench_out",
-         "--keep_intermediate"])
+        ["--image_dir", str(img_dir), "--output_dir", "/tmp/bench_out"])
     cfg = config_from_args(pargs)
     silent = lambda *a: None
 

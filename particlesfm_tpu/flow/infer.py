@@ -147,7 +147,8 @@ def load_flow_apply_batch(ckpt, iters=None, scale: float = 1.0):
 
 
 def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
-                          scale: float = 1.0):
+                          scale: float = 1.0, refine_schedule=None,
+                          refine_max_total: float = 3.0):
     """Pair-indexed flow apply against a device-resident frame stack.
 
     Returns `apply(stack, ia, ib) -> flows [N, H, W, 2] (device)` where `stack`
@@ -157,7 +158,15 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
     images (the reference's per-pair GPU loop shape) costs more than the net
     itself — one 64 MB uint8 upload + on-device pair indexing replaces ~2.6 GB
     of H2D traffic for a 48-frame sequence, and outputs stay on device for the
-    refinement/selfcal/tracking consumers."""
+    refinement/selfcal/tracking consumers.
+
+    `refine_schedule`: when set (tuple of (iters, sigma, radius) phases), the
+    photometric Lucas-Kanade refinement (flow/refine.py) runs fused in the SAME
+    jit dispatch as the net forward — one program per pair block instead of a
+    separate chunked refinement pass (the round-3 flow stage spent ~60% of its
+    wall time on per-dispatch tunnel latency of the split pipeline). The
+    returned apply carries `.refines = True` so the pipeline stage skips its
+    standalone refinement loop."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -174,22 +183,23 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
     n_iters = int(iters) if iters is not None else int(meta.get("iters", 12))
     params = jax.device_put(params)   # argument, not a baked-in closure
 
-    def _one(img1, img2, params):
+    def _one(params, img1, img2):
         with jax.default_matmul_precision("default"):
             return model.apply({"params": params}, img1, img2, iters=n_iters)
 
     @jax.jit
     def run_block(params, stack, ia, ib):
-        i1 = stack[ia].astype(jnp.float32)
-        i2 = stack[ib].astype(jnp.float32)
-        B, H, W, _ = i1.shape
+        raw1 = stack[ia].astype(jnp.float32)
+        raw2 = stack[ib].astype(jnp.float32)
+        B, H, W, _ = raw1.shape
         ph = (-H) % 8
         pw = (-W) % 8
+        i1, i2 = raw1, raw2
         if ph or pw:
             i1 = jnp.pad(i1, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
             i2 = jnp.pad(i2, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         Hp, Wp = i1.shape[1], i1.shape[2]
-        one = lambda a, b: _one(a, b, params)
+        one = lambda a, b: _one(params, a, b)
         if scale != 1.0:
             hs = int(round(Hp * scale / 8.0)) * 8
             ws = int(round(Wp * scale / 8.0)) * 8
@@ -200,7 +210,15 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
             fl = fl * jnp.asarray([Wp / ws, Hp / hs], fl.dtype)
         else:
             fl = jax.vmap(one)(i1, i2)
-        return fl[:, :H, :W]
+        fl = fl[:, :H, :W]
+        if refine_schedule:
+            from .refine import photometric_refine_scheduled
+
+            fl = photometric_refine_scheduled(
+                raw1 / 255.0, raw2 / 255.0, fl,
+                schedule=refine_schedule, max_total=refine_max_total,
+            )
+        return fl
 
     idx_sharding = data_sharding(mesh, 1)
 
@@ -222,6 +240,7 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
             out.append(fl[: N - k] if pad else fl)
         return jnp.concatenate(out, 0) if len(out) > 1 else out[0]
 
+    apply.refines = refine_schedule is not None
     return apply
 
 

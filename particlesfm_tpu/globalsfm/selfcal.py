@@ -270,16 +270,18 @@ def estimate_focal_from_flows(
         ff = jnp.asarray(flows["flow_f"])
         fb = jnp.asarray(flows["flow_b"])
         T = ff.shape[0]
-        samp_b = jax.jit(jax.vmap(bilinear_sample))   # fields [Pw,H,W,2], pts [Pw,M,2]
+        samp_b = jax.vmap(bilinear_sample)   # fields [Pw,H,W,2], pts [Pw,M,2]
 
-        for K in compose_strides:
+        @partial(jax.jit, static_argnames=("K",))
+        def compose(ff, fb, grid_d, K):
+            """fb-gated K-hop composition, ONE dispatch per stride (the hop
+            loop unrolls inside the jit — per-hop dispatches through the
+            tunnel dominated the selfcal wall time)."""
             nw = T - K + 1
-            if nw < 1:
-                continue
-            t0s = np.arange(nw)
-            p = jnp.broadcast_to(jnp.asarray(grid), (nw,) + grid.shape)
-            ok = jnp.ones((nw, len(grid)), bool)
-            for k in range(K):  # one batched dispatch per hop over all windows
+            t0s = jnp.arange(nw)
+            p = jnp.broadcast_to(grid_d, (nw,) + grid_d.shape)
+            ok = jnp.ones((nw, grid_d.shape[0]), bool)
+            for k in range(K):
                 f = samp_b(ff[t0s + k], p)
                 pn = p + f
                 b = samp_b(fb[t0s + k], pn)
@@ -290,6 +292,14 @@ def estimate_focal_from_flows(
                     & (pn[..., 1] > 4) & (pn[..., 1] < height - 4)
                 )
                 p = pn
+            return p, ok
+
+        grid_d = jnp.asarray(grid)
+        for K in compose_strides:
+            nw = T - K + 1
+            if nw < 1:
+                continue
+            p, ok = compose(ff, fb, grid_d, K)
             uv1s.append(np.broadcast_to(grid, (nw,) + grid.shape))
             uv2s.append(np.asarray(p))
             oks.append(np.asarray(ok))

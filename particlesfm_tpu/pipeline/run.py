@@ -74,12 +74,29 @@ DEFAULT_SEG_CKPT = _CKPT_DIR / "motionseg_synth3d.msgpack"
 DEFAULT_RAFT_CKPT = _CKPT_DIR / "raft_synth.msgpack"
 DEFAULT_DEPTH_CKPT = _CKPT_DIR / "depth_synth.msgpack"
 
+# Loader memo across run_pipeline calls: a multi-sequence sweep (--root_dir,
+# acceptance benchmark) re-enters run_pipeline per sequence; rebuilding the
+# jitted apply fns would retrace + re-look-up every executable through the
+# tunnel each time. Keyed on checkpoint path + the config fields that change
+# the compiled program.
+_APPLY_CACHE: dict = {}
+
+
+def _memo(key, build):
+    if key not in _APPLY_CACHE:
+        _APPLY_CACHE[key] = build()
+    return _APPLY_CACHE[key]
+
 
 def _load_raft_apply(cfg: Config):
     """Build the jitted flow apply fn; falls back to the in-environment-trained
     compact checkpoint (the reference downloads released raft-things weights via
     scripts/download_models_thirdparty.sh:8-11 — zero egress here, so the
-    default is trained on textured renders of the ray-cast scene generator)."""
+    default is trained on textured renders of the ray-cast scene generator).
+
+    The photometric refinement schedule is fused into the same per-block jit
+    as the net forward (flow/infer.py refine_schedule) — one device program
+    per pair block instead of a separate chunked pass."""
     ckpt = cfg.flow.checkpoint
     if ckpt is None and DEFAULT_RAFT_CKPT.exists():
         ckpt = str(DEFAULT_RAFT_CKPT)
@@ -87,10 +104,17 @@ def _load_raft_apply(cfg: Config):
         return None
     from ..flow.infer import load_flow_apply_pairs
 
-    return load_flow_apply_pairs(
-        ckpt, iters=cfg.flow.iters, per_device=cfg.flow.per_device,
-        scale=cfg.flow.infer_scale,
+    schedule = (
+        tuple(tuple(p) for p in cfg.flow.refine_schedule)
+        if cfg.flow.photometric_refine else None
     )
+    key = ("raft", ckpt, cfg.flow.iters, cfg.flow.per_device,
+           cfg.flow.infer_scale, schedule, cfg.flow.refine_max_total_px)
+    return _memo(key, lambda: load_flow_apply_pairs(
+        ckpt, iters=cfg.flow.iters, per_device=cfg.flow.per_device,
+        scale=cfg.flow.infer_scale, refine_schedule=schedule,
+        refine_max_total=cfg.flow.refine_max_total_px,
+    ))
 
 
 def _load_depth_apply(cfg: Config):
@@ -102,6 +126,9 @@ def _load_depth_apply(cfg: Config):
         ckpt = str(DEFAULT_DEPTH_CKPT)
     if ckpt is None:
         return None
+    key = ("depth", ckpt, cfg.depth.base)
+    if key in _APPLY_CACHE:
+        return _APPLY_CACHE[key]
     import jax
     import jax.numpy as jnp
     from flax.serialization import msgpack_restore
@@ -158,6 +185,7 @@ def _load_depth_apply(cfg: Config):
             out.append(d[: block - pad] if pad else d)
         return np.concatenate([np.asarray(o, np.float32) for o in out], 0)
 
+    _APPLY_CACHE[key] = apply
     return apply
 
 
@@ -178,6 +206,9 @@ def _load_seg_apply(cfg: Config):
         ckpt = str(DEFAULT_SEG_CKPT)
     if ckpt is None:
         return None
+    key = ("seg", ckpt, tuple(cfg.motionseg.resolution))
+    if key in _APPLY_CACHE:
+        return _APPLY_CACHE[key]
     import jax
     import jax.numpy as jnp
     from flax.serialization import msgpack_restore
@@ -210,6 +241,7 @@ def _load_seg_apply(cfg: Config):
     def apply(traj, depth, valid):
         return _apply(variables, traj, depth, valid)
 
+    _APPLY_CACHE[key] = apply
     return apply
 
 

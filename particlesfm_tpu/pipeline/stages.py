@@ -161,7 +161,12 @@ def flow_stage(
     # computed flow vector to its photometric optimum on the actual image pair
     # — removes the net's spatially structured sub-pixel bias that metric SfM
     # would otherwise inherit. External (reused) flow is respected as-is.
-    if cfg.flow.photometric_refine:
+    # When the apply fn already fuses the refinement into its per-block jit
+    # (load_flow_apply_pairs refine_schedule), this standalone pass is skipped.
+    if cfg.flow.photometric_refine and getattr(raft_apply, "refines", False):
+        log(f"[flow] photometric refinement fused into inference "
+            f"(schedule {cfg.flow.refine_schedule})")
+    elif cfg.flow.photometric_refine:
         from ..flow.refine import photometric_refine_scheduled
 
         B = 8
@@ -218,21 +223,26 @@ def flow_stage(
                     f"{100 * frac:.1f}% of pixels")
             result[name2] = np.asarray(blended)
 
-    # .flo contract writes: start one async f16 D2H per direction (half the
-    # bytes through the slow tunnel; f16 quantization is <=0.06 px at the
-    # flow ranges seen here, far under the net's EPE), overlap the copies
-    # with the selfcal device work, then write the files.
+    # .flo contract writes, only when the files will outlive the run: the
+    # pipeline's own consumers (tracker/selfcal/seg) read the device-resident
+    # arrays directly, and run_pipeline deletes optical_flows/ at the end
+    # unless --keep_intermediate (run_particlesfm.py:44-45 semantics) — so
+    # without that flag the D2H (~330 MB through the tens-of-MB/s tunnel) and
+    # file writes would be pure waste. With the flag: one async f16 D2H per
+    # direction (half the bytes; f16 quantization is <=0.06 px at these flow
+    # ranges, far under the net's EPE), overlapped with the selfcal work.
     fetching = []
-    for name, stride, d, npairs in todo:
-        if not isinstance(result[name], np.ndarray):
-            buf = result[name].astype(jnp.float16)
-            try:
-                buf.copy_to_host_async()
-            except Exception:
-                pass
-            fetching.append((name, d, npairs, buf))
-        else:
-            fetching.append((name, d, npairs, result[name]))
+    if cfg.keep_intermediate:
+        for name, stride, d, npairs in todo:
+            if not isinstance(result[name], np.ndarray):
+                buf = result[name].astype(jnp.float16)
+                try:
+                    buf.copy_to_host_async()
+                except Exception:
+                    pass
+                fetching.append((name, d, npairs, buf))
+            else:
+                fetching.append((name, d, npairs, result[name]))
     _write_flow_selfcal(result, images.shape[1], images.shape[2],
                         out_dir, cfg, log)
     for name, d, npairs, buf in fetching:
@@ -241,6 +251,9 @@ def flow_stage(
         for i in range(npairs):
             flo_io.write_flo(d / f"{i:06d}.flo", flows[i])
         log(f"[flow] {name}: computed {npairs} pairs (batched)")
+    if not fetching:
+        for name, stride, d, npairs in todo:
+            log(f"[flow] {name}: computed {npairs} pairs (batched, in-memory)")
     return result
 
 

@@ -8,6 +8,7 @@ and the per-track observation cap (sample_k, line 53) are applied here.
 """
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Optional
 
@@ -281,6 +282,7 @@ def _votes_chunk_impl(xyn, jmask, pij, E, thr, pvalid):
     return good, total
 
 
+_VOTES_CHUNK_LOCK = threading.Lock()
 _VOTES_CHUNK_JIT = None
 
 
@@ -288,9 +290,11 @@ def _votes_chunk(xyn, jmask, pij, E, thr, pvalid):
     """Single module-level jit (shape-specializing) shared by all callers."""
     global _VOTES_CHUNK_JIT
     if _VOTES_CHUNK_JIT is None:
-        import jax
+        with _VOTES_CHUNK_LOCK:
+            if _VOTES_CHUNK_JIT is None:
+                import jax
 
-        _VOTES_CHUNK_JIT = jax.jit(_votes_chunk_impl)
+                _VOTES_CHUNK_JIT = jax.jit(_votes_chunk_impl)
     return _VOTES_CHUNK_JIT(xyn, jmask, pij, E, thr, pvalid)
 
 

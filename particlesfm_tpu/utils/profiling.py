@@ -8,6 +8,7 @@ context for XLA/TPU kernel-level inspection (HLO cost audits).
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -33,8 +34,10 @@ class StageTimer:
             self.counts[name] += 1
             if self.report_path is not None:
                 try:
-                    with open(self.report_path, "w") as f:
+                    tmp = f"{self.report_path}.tmp"
+                    with open(tmp, "w") as f:
                         f.write(self.report() + "\n")
+                    os.replace(tmp, self.report_path)
                 except OSError:
                     pass
 

@@ -16,7 +16,9 @@ Run on the real TPU (single process!):
 """
 import argparse
 import json
+import os
 import re
+import signal
 import sys
 import time
 from pathlib import Path
@@ -24,6 +26,29 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# budget guard (bench.py round-3 lesson: a sweep that dies under the driver's
+# timeout scores zero) — ACCEPT_BUDGET_S arms a SIGALRM that scores whatever
+# sequences completed, writes the summary JSON, and exits 0.
+_STATE = {"per_seq": {}, "done_names": [], "args": None, "t0": time.time()}
+
+
+def _emit_partial(signum=None, frame=None):
+    args = _STATE["args"]
+    if args is None:
+        os._exit(1)
+    try:
+        summary = _score(args, _STATE["done_names"], _STATE["per_seq"],
+                         time.time() - _STATE["t0"], partial=True)
+        spath = (Path(args.summary) if args.summary
+                 else Path(args.out_dir) / "summary.json")
+        spath.parent.mkdir(parents=True, exist_ok=True)
+        spath.write_text(json.dumps(summary, indent=1))
+        print(json.dumps({k: v for k, v in summary.items() if k != "per_seq"},
+                         indent=1), flush=True)
+    except Exception as e:       # noqa: BLE001 — last-resort reporting path
+        print(f"[accept] partial-emit failed: {e}", flush=True)
+    os._exit(0)
 
 
 def parse_timings(path: Path) -> dict:
@@ -47,6 +72,7 @@ def main(argv=None):
     ap.add_argument("--seqs", nargs="*", default=None)
     ap.add_argument("--sample_ratio", type=int, default=2)
     ap.add_argument("--skip_exists", action="store_true")
+    ap.add_argument("--keep_intermediate", action="store_true")
     ap.add_argument("--summary", default=None,
                     help="JSON summary path (default <out_dir>/summary.json)")
     args = ap.parse_args(argv)
@@ -58,7 +84,6 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from particlesfm_tpu.eval import sintel as eval_sintel
     from particlesfm_tpu.pipeline.run import (build_arg_parser, config_from_args,
                                               run_pipeline)
 
@@ -70,60 +95,91 @@ def main(argv=None):
 
     pargs = build_arg_parser().parse_args(
         ["--root_dir", str(seq_root), "--image_folder", "images",
-         "--keep_intermediate", "--sample_ratio", str(args.sample_ratio),
+         "--sample_ratio", str(args.sample_ratio),
          "--sfm_type", args.sfm_type]
         + (["--skip_exists"] if args.skip_exists else [])
+        + (["--keep_intermediate"] if args.keep_intermediate else [])
     )
     cfg = config_from_args(pargs)
 
-    per_seq = {}
-    nframes = {}
-    t_all = time.time()
+    _STATE["args"] = args
+    _STATE["t0"] = time.time()
+    budget = float(os.environ.get("ACCEPT_BUDGET_S", "0"))
+    if budget > 0:
+        signal.signal(signal.SIGALRM, _emit_partial)
+        signal.alarm(max(60, int(budget - 60)))
+
+    per_seq = _STATE["per_seq"]
     for name in names:
         img_dir = seq_root / name / "images"
         out = out_root / name / "particlesfm_tpu"
-        nframes[name] = len(list(img_dir.glob("*.png")))
+        nf = len(list(img_dir.glob("*.png")))
         t0 = time.time()
         run_pipeline(img_dir, out, cfg, log=lambda *a: None)
         dt = time.time() - t0
         stages = parse_timings(out / "timings.txt")
-        per_seq[name] = {"wall_s": round(dt, 2), "frames": nframes[name],
+        per_seq[name] = {"wall_s": round(dt, 2), "frames": nf,
                          "stages": stages}
-        print(f"{name}: {dt:.1f}s for {nframes[name]} frames "
-              f"({nframes[name]/dt:.2f} fps) | " +
+        _STATE["done_names"].append(name)
+        print(f"{name}: {dt:.1f}s for {nf} frames "
+              f"({nf/dt:.2f} fps) | " +
               " ".join(f"{k}={v:.1f}s" for k, v in stages.items()), flush=True)
-    total = time.time() - t_all
-    tot_frames = sum(nframes.values())
+    total = time.time() - _STATE["t0"]
+    signal.alarm(0)
 
-    rc = eval_sintel.main([
-        "--gt_root", str(gt_root), "--pred_root", str(out_root),
-        "--seqs", *names, "--plot_dir", str(out_root / "plots"),
-    ])
+    summary = _score(args, names, per_seq, total, partial=False)
+    spath = Path(args.summary) if args.summary else out_root / "summary.json"
+    spath.parent.mkdir(parents=True, exist_ok=True)
+    spath.write_text(json.dumps(summary, indent=1))
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_seq"},
+                     indent=1), flush=True)
+    return 0
 
-    # aggregate the eval report (one errors_ate.txt at pred_root, evo layout)
+
+def _score(args, names, per_seq, total, partial: bool) -> dict:
+    """Evaluate `names` (completed sequences only) and aggregate the summary."""
+    from particlesfm_tpu.eval import sintel as eval_sintel
+
+    out_root = Path(args.out_dir)
+    gt_root = Path(args.data_dir) / "gt"
     ate, rpe_t, rpe_r, failed = [], [], [], []
-    report = (out_root / "errors_ate.txt").read_text()
-    for line in report.splitlines():
-        m = re.match(
-            r"(\S+): ATE ([0-9.]+)\s+RPE-t ([0-9.]+)\s+RPE-r ([0-9.]+)deg", line)
-        if m:
-            ate.append(float(m.group(2)))
-            rpe_t.append(float(m.group(3)))
-            rpe_r.append(float(m.group(4)))
-        elif ": FAILED" in line:
-            failed.append(line.split(":")[0])
-
+    per_seq_err = {}
+    if names:
+        eval_sintel.main([
+            "--gt_root", str(gt_root), "--pred_root", str(out_root),
+            "--seqs", *names, "--plot_dir", str(out_root / "plots"),
+        ])
+        # aggregate the eval report (errors_ate.txt at pred_root, evo layout)
+        report = (out_root / "errors_ate.txt").read_text()
+        for line in report.splitlines():
+            m = re.match(
+                r"(\S+): ATE ([0-9.]+)\s+RPE-t ([0-9.]+)\s+RPE-r ([0-9.]+)deg",
+                line)
+            if m:
+                ate.append(float(m.group(2)))
+                rpe_t.append(float(m.group(3)))
+                rpe_r.append(float(m.group(4)))
+                per_seq_err[m.group(1)] = {
+                    "ate": float(m.group(2)), "rpe_trans": float(m.group(3)),
+                    "rpe_rot_deg": float(m.group(4))}
+            elif ": FAILED" in line:
+                failed.append(line.split(":")[0])
+    for name, err in per_seq_err.items():
+        if name in per_seq:
+            per_seq[name].update(err)
+    tot_frames = sum(s["frames"] for s in per_seq.values())
     stage_tot = {}
     for s in per_seq.values():
         for k, v in s["stages"].items():
             stage_tot[k] = stage_tot.get(k, 0.0) + v
-    summary = {
+    return {
         "protocol": "acc13 synthetic Sintel-scale (1024x436, pixels-to-poses)",
         "sfm_type": args.sfm_type,
+        "partial": partial,
         "num_seqs": len(names),
         "total_frames": tot_frames,
         "total_wall_s": round(total, 1),
-        "end_to_end_fps": round(tot_frames / total, 3),
+        "end_to_end_fps": round(tot_frames / total, 3) if total > 0 else 0.0,
         "stage_seconds": {k: round(v, 1) for k, v in stage_tot.items()},
         "ate_mean": round(float(np.mean(ate)), 4) if ate else None,
         "rpe_trans_mean": round(float(np.nanmean(rpe_t)), 4) if rpe_t else None,
@@ -131,12 +187,6 @@ def main(argv=None):
         "failed_seqs": failed,
         "per_seq": per_seq,
     }
-    spath = Path(args.summary) if args.summary else out_root / "summary.json"
-    spath.parent.mkdir(parents=True, exist_ok=True)
-    spath.write_text(json.dumps(summary, indent=1))
-    print(json.dumps({k: v for k, v in summary.items() if k != "per_seq"},
-                     indent=1), flush=True)
-    return rc
 
 
 if __name__ == "__main__":

@@ -119,3 +119,34 @@ def test_scheduled_refinement_and_anchored_trust_region():
     # correction never exceeds max_total even though two phases ran
     d = np.linalg.norm(out - flow0, axis=-1)
     assert d.max() <= 1.5 + 1e-4
+
+
+def test_fused_refine_matches_standalone_pass():
+    """load_flow_apply_pairs(refine_schedule=...) == net forward followed by
+    the standalone scheduled refinement (the round-4 flow stage runs the fused
+    path; pipeline/stages.py relies on this equivalence to skip its loop)."""
+    from particlesfm_tpu.flow.infer import load_flow_apply_pairs
+    from particlesfm_tpu.flow.refine import photometric_refine_scheduled
+    from particlesfm_tpu.pipeline.run import DEFAULT_RAFT_CKPT
+
+    if not DEFAULT_RAFT_CKPT.exists():
+        import pytest
+
+        pytest.skip("no shipped flow checkpoint")
+    rng = np.random.default_rng(0)
+    T, H, W = 3, 64, 96
+    stack = rng.integers(0, 256, (T, H, W, 3)).astype(np.uint8)
+    ia = np.array([0, 1], np.int32)
+    ib = np.array([1, 2], np.int32)
+    sched = ((1, 2.0, 3),)
+    plain = load_flow_apply_pairs(str(DEFAULT_RAFT_CKPT), iters=2)
+    fused = load_flow_apply_pairs(str(DEFAULT_RAFT_CKPT), iters=2,
+                                  refine_schedule=sched, refine_max_total=2.0)
+    assert not plain.refines and fused.refines
+    base = plain(stack, ia, ib)
+    want = photometric_refine_scheduled(
+        jnp.asarray(stack[ia], jnp.float32) / 255.0,
+        jnp.asarray(stack[ib], jnp.float32) / 255.0,
+        base, schedule=sched, max_total=2.0)
+    got = fused(stack, ia, ib)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

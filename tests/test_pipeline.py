@@ -128,6 +128,8 @@ def test_flow_stage_single_stream(tmp_path):
     # post-passes (which would rightly alter them) are off
     cfg.flow.photometric_refine = False
     cfg.flow.selfcal = False
+    # .flo files are only materialized when they will outlive the run
+    cfg.keep_intermediate = True
     flows = stages.flow_stage(images, tmp_path, cfg, fake_raft, log=lambda *a: None)
 
     assert len(calls) == 1                       # one fused stream
