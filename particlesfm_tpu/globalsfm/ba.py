@@ -273,7 +273,11 @@ def _bundle_adjust_impl(
             # assembled in track chunks to bound the intermediates
             K = fidx.shape[1]
             N = fidx.shape[0]
-            CHUNK = 2048
+            # chunk bounded by the LOCAL track count: under shard_map each
+            # device sees N/devices tracks, and a fixed 2048 chunk would pad
+            # small shards up to 4-8x their real work (the round-3 virtual-mesh
+            # BA curve regressed to 0.09x largely from this padding)
+            CHUNK = min(2048, max(128, N))
             pad = (-N) % CHUNK
             Wcp_p = jnp.pad(Wcp, ((0, pad), (0, 0), (0, 0), (0, 0)))
             Hpi_p = jnp.pad(Hpp_inv, ((0, pad), (0, 0), (0, 0)))

@@ -320,10 +320,14 @@ def depth_stage(
         raise RuntimeError(
             f"depth stage: no precomputed depth at {d} and no depth weights provided"
         )
-    d.mkdir(parents=True, exist_ok=True)
     deps = np.asarray(depth_apply(images))   # batched + normalized on device
-    for i in range(T):
-        write_depth_png16(d / f"{i:06d}.png", deps[i])
+    # 16-bit PNG contract writes only when the files outlive the run
+    # (run_pipeline deletes depth/ at the end unless --keep_intermediate);
+    # the seg stage consumes the in-memory array either way
+    if cfg.keep_intermediate:
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(T):
+            write_depth_png16(d / f"{i:06d}.png", deps[i])
     log(f"[depth] computed {T} frames (batched)")
     return deps
 

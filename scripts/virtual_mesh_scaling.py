@@ -93,8 +93,8 @@ def main():
         run_seg, jax.device_put(traj, s4), jax.device_put(depth, s4),
         jax.device_put(valid, s3))
 
-    # ---- BA: 4096 tracks x K8 x 60 cameras, 5 LM iterations --------------
-    Nt, K, Vc = 4096, 8, 60
+    # ---- BA: protocol-shaped 32768 tracks x K12 x 48 cameras, 5 LM iters --
+    Nt, K, Vc = 32768, 12, 48
     obs = TrackObs(
         jax.device_put(jnp.asarray(rng.integers(0, Vc, (Nt, K)), jnp.int32),
                        data_sharding(mesh, 2)),
@@ -118,6 +118,30 @@ def main():
                                      max_iterations=5).cost
 
     out["ba_s"] = time_fn(lambda *a: run_ba(*a), q, t, cam, X0)
+
+    # work-proportional + communication counters (host wall-clock on this
+    # 4-core box is confounded: XLA:CPU multi-threads a SINGLE device over all
+    # cores, so an N-virtual-device curve can never beat 1 device on wall time;
+    # these counters are the honest scaling evidence — see MULTICHIP_r04)
+    nd_ba = nd
+    local_tracks = -(-Nt // nd_ba)
+    chunk = min(2048, max(128, local_tracks))
+    padded_local = -(-local_tracks // chunk) * chunk
+    out["ba_counters"] = {
+        "tracks_total": Nt,
+        "tracks_per_device": local_tracks,
+        "tracks_per_device_padded": padded_local,
+        "work_fraction_per_device": padded_local / Nt,
+        # per-LM-iteration psum payload: reduced camera system [V,V,6,6] +
+        # camera grad/border rows [V,6]x3 + scalars (f32)
+        "psum_bytes_per_lm_iter": 4 * (Vc * Vc * 36 + 3 * Vc * 6 + 4),
+        # dominant term: off-diagonal Schur assembly einsum nvil,nwjl->vwij
+        # (216 flops per track-slot per camera pair) + per-obs block products
+        "schur_flops_per_device_per_iter": int(
+            216 * padded_local * Vc * Vc
+            + 2 * padded_local * K * (6 * 6 * 3 + 6 * 3 * 3)
+        ),
+    }
 
     Path(args.out).write_text(json.dumps(out))
     print(json.dumps(out))
