@@ -160,6 +160,7 @@ def _bundle_adjust_impl(
     init_lam: float = 1e-4,
     refine_focal: bool = False,
     solver: str = "dense",
+    function_tolerance: float = 1e-6,
     reduce_fn=None,
 ) -> BAState:
     """LM bundle adjustment; optionally solves the shared focal length jointly.
@@ -392,11 +393,14 @@ def _bundle_adjust_impl(
     # first starts near-converged, so a fixed `max_iterations` scan wastes
     # most of its steps (measured 4.4 s/round at 32k tracks, length=50).
     # Terminate on 2 consecutive ACCEPTED steps with relative improvement
-    # < rtol, or 24 consecutive rejections (lambda re-adaptation exhausted:
-    # recovering from the 1e-10 floor to ~1e-2 takes ~19 rejects at x3/step,
-    # so a smaller cap cuts live optimizations short — measured as ATE
-    # regressions on the orbit tests at a cap of 8).
-    rtol = 1e-7
+    # < function_tolerance (Ceres default 1e-6, bundle_adjustment.h:48-102;
+    # the round-3 hardwired 1e-7 never fired at protocol scale and every
+    # round ran the full 50 iterations), or 24 consecutive rejections
+    # (lambda re-adaptation exhausted: recovering from the 1e-10 floor to
+    # ~1e-2 takes ~19 rejects at x3/step, so a smaller cap cuts live
+    # optimizations short — measured as ATE regressions on the orbit tests
+    # at a cap of 8).
+    rtol = function_tolerance
 
     def _cond(carry):
         *_, it, stall, rej = carry
@@ -425,7 +429,8 @@ def _bundle_adjust_impl(
 bundle_adjust = partial(
     jax.jit,
     static_argnames=(
-        "max_iterations", "pcg_iters", "use_soft_l1", "refine_focal", "solver"
+        "max_iterations", "pcg_iters", "use_soft_l1", "refine_focal", "solver",
+        "function_tolerance",
     ),
 )(partial(_bundle_adjust_impl, reduce_fn=None))
 bundle_adjust.__doc__ = _bundle_adjust_impl.__doc__

@@ -170,9 +170,14 @@ def _load_depth_apply(cfg: Config):
         """Batched (imgs [N, H, W, 3] uint8-range) -> normalized depths
         [N, H, W] in [0, 1]; the uint8 frame stack uploads once and frame
         blocks shard data-parallel over the device mesh (the reference runs
-        MiDaS one frame at a time on one GPU)."""
-        stack = jax.device_put(
-            jnp.asarray(np.clip(np.round(np.asarray(imgs)), 0, 255), jnp.uint8))
+        MiDaS one frame at a time on one GPU). A pre-uploaded device uint8
+        stack passes through without a second 64 MB H2D trip."""
+        if isinstance(imgs, jax.Array) and imgs.dtype == jnp.uint8:
+            stack = imgs
+        else:
+            stack = jax.device_put(
+                jnp.asarray(np.clip(np.round(np.asarray(imgs)), 0, 255),
+                            jnp.uint8))
         N = len(imgs)
         out = []
         for k in range(0, N, block):
@@ -257,9 +262,23 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
     T, H, W = images.shape[:3]
     log(f"[pipeline] {T} frames at {W}x{H} from {image_dir}")
 
+    # one shared frame-stack upload for the flow + depth nets (~15 s of H2D
+    # through the tunnel per 48-frame sequence; uploading twice was measured
+    # as a third of the depth stage)
+    raft_apply = _load_raft_apply(cfg)
+    needs_device_stack = raft_apply is not None or not cfg.assume_static
+    device_stack = None
+    if needs_device_stack:
+        with timer.stage("frame_upload"):
+            device_stack = stages.upload_frame_stack(images)
+            import jax as _jax
+
+            _jax.block_until_ready(device_stack)
+
     # stage 1+2: flow -> trajectories
     with timer.stage("flow"):
-        flows = stages.flow_stage(images, out, cfg, _load_raft_apply(cfg), log=log)
+        flows = stages.flow_stage(images, out, cfg, raft_apply,
+                                  device_stack=device_stack, log=log)
     with timer.stage("trajectories"):
         tracks = stages.tracking_stage(flows, H, W, out, cfg, log=log)
 
@@ -272,7 +291,8 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
             try:
                 with timer.stage("depth"):
                     depths = stages.depth_stage(
-                        images, out, cfg, _load_depth_apply(cfg), log=log
+                        images, out, cfg, _load_depth_apply(cfg),
+                        device_stack=device_stack, log=log
                     )
             except RuntimeError as e:
                 log(f"[pipeline] WARNING: {e}; degrading to assume-static")

@@ -78,11 +78,20 @@ def read_flow_selfcal(out_dir: Path, cfg) -> Optional[float]:
     return float(info["focal"]) if ok else None
 
 
+def upload_frame_stack(images: np.ndarray):
+    """Upload the uint8 frame stack ONCE per sequence (the tunnel moves H2D
+    data at ~4 MB/s; a 48-frame protocol stack is 64 MB ~ 15 s, and flow +
+    depth each need it — run_pipeline shares one upload between them)."""
+    return jax.device_put(
+        jnp.asarray(np.clip(np.round(np.asarray(images)), 0, 255), jnp.uint8))
+
+
 def flow_stage(
     images: np.ndarray,            # [T, H, W, 3] float32
     out_dir: Path,
     cfg: Config,
     raft_apply: Optional[Callable] = None,   # (img1s, img2s) -> flows [N, H, W, 2]
+    device_stack=None,             # optional pre-uploaded uint8 stack (device)
     log=print,
 ):
     """Pairwise forward/backward flow at stride 1 (and 2 unless disabled).
@@ -136,8 +145,8 @@ def flow_stage(
     # images costs more than the net), pairs are indexed on device, and flow
     # stays on device through refinement/selfcal; the .flo copies come back
     # as one async f16 D2H per direction.
-    stack_u8 = jax.device_put(
-        jnp.asarray(np.clip(np.round(images), 0, 255), jnp.uint8))
+    stack_u8 = (device_stack if device_stack is not None
+                else upload_frame_stack(images))
     # ONE batched stream over every direction: the pair-indexed apply
     # processes a flat pair list in fixed-size device blocks, so fusing the
     # 4 directions packs full blocks (the reference runs 4 sequential
@@ -305,6 +314,7 @@ def depth_stage(
     out_dir: Path,
     cfg: Config,
     depth_apply: Optional[Callable] = None,   # (imgs [N,H,W,3]) -> [N, H, W]
+    device_stack=None,             # optional pre-uploaded uint8 stack (device)
     log=print,
 ) -> np.ndarray:
     """Per-frame relative depth, 16-bit PNG contract (run_midas parity)."""
@@ -320,7 +330,9 @@ def depth_stage(
         raise RuntimeError(
             f"depth stage: no precomputed depth at {d} and no depth weights provided"
         )
-    deps = np.asarray(depth_apply(images))   # batched + normalized on device
+    deps = np.asarray(depth_apply(
+        images if device_stack is None else device_stack
+    ))   # batched + normalized on device
     # 16-bit PNG contract writes only when the files outlive the run
     # (run_pipeline deletes depth/ at the end unless --keep_intermediate);
     # the seg stage consumes the in-memory array either way

@@ -74,14 +74,23 @@ def write_models(
 ) -> Optional[Reconstruction]:
     """Write numbered subdirs 0/, 1/, ... plus the largest model's bins at the
     top level (the reference's on-disk layout after compute_model_stats)."""
+    import shutil
+
     from .export import write_colmap_model
 
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
+    best = largest_model(models)
+    best_k = None
     for k, rec in enumerate(models):
         write_colmap_model(rec, model_dir / str(k), image_names)
-    best = largest_model(models)
+        if rec is best:
+            best_k = k
     if best is not None:
-        write_colmap_model(best, model_dir, image_names)
+        # largest-copy layout (main_sfm.py:52-93): copy the serialized bins up
+        # instead of re-encoding the model (a 240k-point model costs seconds
+        # to serialize; the copy is an OS file copy)
+        for name in ("cameras.bin", "images.bin", "points3D.bin"):
+            shutil.copyfile(model_dir / str(best_k) / name, model_dir / name)
         log(f"[manager] largest model: {best.num_registered} images")
     return best

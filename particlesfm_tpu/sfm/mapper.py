@@ -709,6 +709,11 @@ def _refine_and_finish(
                 loss_scale=cfg.ba.loss_scale,
                 use_soft_l1=(cfg.ba.loss == "soft_l1"),
                 refine_focal=cfg.ba.refine_focal_length,
+                # annealed phase-0 rounds are followed by a full
+                # retriangulate+regate; solving them past 1e-5 is wasted
+                function_tolerance=(
+                    cfg.ba.function_tolerance_anneal if phase == 0
+                    else cfg.ba.function_tolerance),
             )
             q_cur, t_cur, X, jparams = state.q, state.t, state.X, state.params
             c = np.asarray(se3.camera_center(q_cur, t_cur))
@@ -790,7 +795,9 @@ def _refine_and_finish(
         obs_frame_idx=frame_full.astype(np.int32),
         obs_uv=np.asarray(obs.uv),
         obs_mask=np.asarray(good),
-        obs_error=np.asarray(errs),
+        # f16 over the tunnel (D2H ~10-20 MB/s; a [283k, 48] f32 error map is
+        # 54 MB): per-obs reprojection errors feed stats/export means only
+        obs_error=np.asarray(jnp.asarray(errs, jnp.float16), np.float32),
         track_row=obs_t.track_row,
         support=float(jnp.sum((good & valid[:, None]).astype(jnp.float32))
                       / jnp.sum(obs.mask)),

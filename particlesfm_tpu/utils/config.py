@@ -31,8 +31,11 @@ class FlowConfig:
     checkpoint: Optional[str] = None
     dtype: str = "bfloat16"
     # pairs per device per dispatch: big enough to amortize per-dispatch
-    # latency, small enough that the full-res correlation volumes fit HBM
-    per_device: int = 8
+    # latency (measured ~0.3-1.4 s per dispatch through the tunnel, so 186
+    # protocol pairs at block 8 paid up to ~30 s of pure round-trips), small
+    # enough that the full-res correlation volumes fit HBM (~200 MB/pair f32
+    # at 1024x436; 16 pairs ~ 3 GB transient)
+    per_device: int = 16
     # net inference resolution as a fraction of the input (flow/infer.py):
     # the correlation lookup is gather-bound on TPU so 0.5 is ~4x cheaper;
     # full-resolution photometric refinement recovers the sub-pixel detail
@@ -155,6 +158,13 @@ class BundleAdjustmentConfig:
     refinement_change: float = 2e-3
     loss: str = "soft_l1"
     loss_scale: float = 1.0
+    # LM early-exit tolerance (Ceres function_tolerance default 1e-6,
+    # bundle_adjustment.h:48-102). The annealed phase-0 rounds re-triangulate
+    # and re-gate right after BA, so sub-1e-5 precision there is wasted work
+    # (the round-3 hardwired 1e-7 meant every round ran the full 50 LM
+    # iterations at ~90 ms each at protocol scale)
+    function_tolerance: float = 1e-6
+    function_tolerance_anneal: float = 1e-5
     refine_focal_length: bool = True
     refine_extra_params: bool = True
     filter_max_reproj_error_px: float = 4.0

@@ -54,15 +54,25 @@ def test_mapper_stats(recon_and_scene):
 
 def test_colmap_export_roundtrip(recon_and_scene, tmp_path):
     rec, sc = recon_and_scene
-    cams, images, points = write_colmap_model(rec, tmp_path / "model")
+    cams, images, points = to_colmap_model(rec)
+    write_colmap_model(rec, tmp_path / "model")
     cams2, images2, points2 = cm.read_model_binary(tmp_path / "model")
     assert len(cams2) == 1 and cams2[1].model == "SIMPLE_PINHOLE"
     assert len(images2) == rec.num_registered
     assert len(points2) == len(points)
-    i0 = sorted(images2)[0]
-    np.testing.assert_allclose(images2[i0].qvec, images[i0].qvec, atol=1e-6)
-    p0 = sorted(points2)[0]
-    np.testing.assert_allclose(points2[p0].xyz, points[p0].xyz, atol=1e-6)
+    # the fast grouped binary writer must agree with the dict model on EVERY
+    # field of every record (track order inside a point included)
+    for iid, im in images.items():
+        np.testing.assert_allclose(images2[iid].qvec, im.qvec, atol=1e-9)
+        np.testing.assert_allclose(images2[iid].tvec, im.tvec, atol=1e-9)
+        np.testing.assert_allclose(images2[iid].xys, im.xys, atol=1e-9)
+        np.testing.assert_array_equal(images2[iid].point3D_ids, im.point3D_ids)
+        assert images2[iid].name == im.name
+    for pid, p in points.items():
+        np.testing.assert_allclose(points2[pid].xyz, p.xyz, atol=1e-9)
+        assert abs(points2[pid].error - p.error) < 1e-9
+        np.testing.assert_array_equal(points2[pid].image_ids, p.image_ids)
+        np.testing.assert_array_equal(points2[pid].point2D_idxs, p.point2D_idxs)
 
 
 def test_converted_outputs(recon_and_scene, tmp_path):
