@@ -59,6 +59,7 @@ def segment_tracks(
     seed: int = 0,
     mesh=None,
     max_cells: int = 65536,        # max windows x tracks per device call
+    log=None,
 ) -> TrackArrays:
     """Label every track observation as static (0) / dynamic (1).
 
@@ -68,11 +69,14 @@ def segment_tracks(
     when given — replacing the reference's one-window-per-forward GPU loop
     (main_motion_segmentation.py:60-96). Returns TrackArrays with `labels`.
     """
+    import time as _time
+
     H, W = image_hw
     T = tracks.num_frames
     labels = np.zeros((tracks.num_tracks, T), np.int8)
     rng = np.random.default_rng(seed)
 
+    _t0 = _time.perf_counter()
     wins, samples = [], []
     for win in cut_windows(T, window_size):
         locs, present, rows = sample_inside_window(
@@ -100,6 +104,7 @@ def segment_tracks(
     # track axis to bound peak memory: the order-aware context (diff_pool soft
     # clusters) is computed per chunk, statistically equivalent for any
     # multi-thousand-track sample. Chunks are padded to one shape (one compile).
+    _t1 = _time.perf_counter()
     chunk = max(1024, max_cells // max(B, 1))
     if kmax > chunk:
         nch = -(-kmax // chunk)
@@ -115,6 +120,11 @@ def segment_tracks(
     else:
         logits = _run_windows(apply_fn, traj, depth, valid, mesh)
     dyn_all = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))) > threshold  # [B, kmax]
+    _t2 = _time.perf_counter()
+    if log is not None:
+        log(f"[motionseg] window-sample {_t1 - _t0:.1f}s, forward "
+            f"{_t2 - _t1:.1f}s ({-(-kmax // chunk) if kmax > chunk else 1} "
+            f"chunks of {min(chunk, kmax)} x {B} windows)")
 
     for b, (locs, present, rows) in enumerate(samples):
         k = locs.shape[0]

@@ -157,8 +157,14 @@ def flow_stage(
         ib = np.arange(npairs) + (abs(stride) if stride > 0 else 0)
         ia_all.append(ia)
         ib_all.append(ib)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     flows_all = raft_apply(
         stack_u8, np.concatenate(ia_all), np.concatenate(ib_all))
+    jax.block_until_ready(flows_all)
+    log(f"[flow] net+refine: {_time.perf_counter() - _t0:.1f}s for "
+        f"{flows_all.shape[0]} pairs")
     off = 0
     computed = set()
     for name, stride, d, npairs in todo:
@@ -240,6 +246,7 @@ def flow_stage(
     # file writes would be pure waste. With the flag: one async f16 D2H per
     # direction (half the bytes; f16 quantization is <=0.06 px at these flow
     # ranges, far under the net's EPE), overlapped with the selfcal work.
+    _t0 = _time.perf_counter()
     fetching = []
     if cfg.keep_intermediate:
         for name, stride, d, npairs in todo:
@@ -254,6 +261,7 @@ def flow_stage(
                 fetching.append((name, d, npairs, result[name]))
     _write_flow_selfcal(result, images.shape[1], images.shape[2],
                         out_dir, cfg, log)
+    log(f"[flow] selfcal: {_time.perf_counter() - _t0:.1f}s")
     for name, d, npairs, buf in fetching:
         d.mkdir(parents=True, exist_ok=True)
         flows = np.asarray(buf, np.float32)
@@ -285,6 +293,9 @@ def tracking_stage(
         return TrackArrays.load(traj_path)
     traj_dir.mkdir(parents=True, exist_ok=True)
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     ff = jnp.asarray(flows["flow_f"])
     fb = jnp.asarray(flows["flow_b"])
     occ, _ = flow_check(ff, fb, cfg.track.flow_check_thres)
@@ -302,8 +313,13 @@ def tracking_stage(
         path_consistency=use_pc,
     )
     out = run_tracker(ff, occ, ff2, occ2, tcfg, height, width)
+    jax.block_until_ready(out.positions)
+    t1 = _time.perf_counter()
     tracks = assemble_tracks(out, min_len=cfg.track.traj_min_len)
+    t2 = _time.perf_counter()
     tracks.save(traj_path)
+    log(f"[tracks] scan {t1 - t0:.1f}s, fetch+assemble {t2 - t1:.1f}s, "
+        f"save {_time.perf_counter() - t2:.1f}s")
     log(f"[tracks] {tracks.num_tracks} tracks over {tracks.num_frames} frames "
         f"(overflow={int(out.overflow)})")
     return tracks
@@ -368,6 +384,7 @@ def motionseg_stage(
         window_size=cfg.motionseg.window_size,
         traj_max_num=cfg.motionseg.traj_max_num,
         mesh=make_mesh(),       # windows shard data-parallel over all devices
+        log=log,
     )
     labeled_path.parent.mkdir(parents=True, exist_ok=True)
     labeled.save(labeled_path)

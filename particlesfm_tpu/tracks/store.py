@@ -43,7 +43,10 @@ class TrackArrays:
         data = {"xy": self.xy, "mask": self.mask}
         if self.labels is not None:
             data["labels"] = self.labels
-        np.savez_compressed(path, **data)
+        # uncompressed: zlib over the ~120 MB protocol-scale tensors costs
+        # 3-6 s of single-thread CPU per write (and this file is written twice
+        # per run — raw + labeled); disk is not the constraint
+        np.savez(path, **data)
 
     @classmethod
     def load(cls, path) -> "TrackArrays":
@@ -95,7 +98,9 @@ def assemble_tracks(out: TrackerOutput, min_len: int = 3) -> TrackArrays:
     """
     positions = np.asarray(out.positions)
     traj_ids = np.asarray(out.traj_ids)
-    valid = np.asarray(out.valid)
+    # the engine emits id=-1 exactly where valid=False, so the valid plane
+    # never needs to cross the (slow) device->host link
+    valid = traj_ids >= 0
     n = int(out.num_trajs)
     T1 = positions.shape[0]
 

@@ -31,11 +31,12 @@ class FlowConfig:
     checkpoint: Optional[str] = None
     dtype: str = "bfloat16"
     # pairs per device per dispatch: big enough to amortize per-dispatch
-    # latency (measured ~0.3-1.4 s per dispatch through the tunnel, so 186
-    # protocol pairs at block 8 paid up to ~30 s of pure round-trips), small
-    # enough that the full-res correlation volumes fit HBM (~200 MB/pair f32
-    # at 1024x436; 16 pairs ~ 3 GB transient)
-    per_device: int = 16
+    # latency, small enough that the full-res correlation volumes fit HBM
+    # (~200 MB/pair f32 at 1024x436). Block 16 was tried and REVERTED: it
+    # changed the bf16 flow numerics enough to cascade into a 2.8x protocol-
+    # scale ATE regression (0.0028 -> 0.0078 on seq_01_dyn, A/B-bisected
+    # round 4) while saving ~nothing end-to-end.
+    per_device: int = 8
     # net inference resolution as a fraction of the input (flow/infer.py):
     # the correlation lookup is gather-bound on TPU so 0.5 is ~4x cheaper;
     # full-resolution photometric refinement recovers the sub-pixel detail

@@ -56,6 +56,11 @@ def main(argv=None):
                 jnp.asarray(fl), schedule=fcfg.refine_schedule,
                 max_total=fcfg.refine_max_total_px))
 
+    # displacement-bucketed EPE (VERDICT r3 task 5: the stride-2 tail past the
+    # trained motion range is where the round-2 net failed; buckets by GT
+    # displacement magnitude expose it where sequence means hide it)
+    BUCKETS = [(0, 20), (20, 40), (40, 60), (60, 85), (85, 1e9)]
+    bucket_err = {s: [np.zeros(2) for _ in BUCKETS] for s in (1, 2)}
     all_epe = {1: [], 2: []}
     t0 = time.time()
     npairs = 0
@@ -74,7 +79,12 @@ def main(argv=None):
             pred = np.asarray(apply(i1, i2))
             if refine is not None:
                 pred = refine(i1, i2, pred)
-            epe = np.linalg.norm(pred - gt, axis=-1).mean(axis=(1, 2))
+            err = np.linalg.norm(pred - gt, axis=-1)
+            mag = np.linalg.norm(gt, axis=-1)
+            for k, (lo, hi) in enumerate(BUCKETS):
+                m = (mag >= lo) & (mag < hi)
+                bucket_err[stride][k] += [err[m].sum(), m.sum()]
+            epe = err.mean(axis=(1, 2))
             all_epe[stride].extend(epe.tolist())
             npairs += len(sel)
         done = {s: round(float(np.mean(v)), 3) for s, v in all_epe.items() if v}
@@ -83,6 +93,14 @@ def main(argv=None):
     print(f"\nmean EPE: stride-1 {np.mean(all_epe[1]):.3f} px "
           f"({len(all_epe[1])} pairs), stride-2 {np.mean(all_epe[2]):.3f} px "
           f"({len(all_epe[2])} pairs) | {npairs/dt:.1f} pairs/s incl. compile")
+    for stride in (1, 2):
+        parts = []
+        for (lo, hi), acc in zip(BUCKETS, bucket_err[stride]):
+            if acc[1] > 0:
+                tag = f"{lo}-{int(hi)}" if hi < 1e9 else f">{lo}"
+                parts.append(f"{tag}px: {acc[0]/acc[1]:.2f} "
+                             f"({int(acc[1])/1e6:.1f}M px)")
+        print(f"stride-{stride} EPE by GT displacement | " + " | ".join(parts))
     return 0
 
 

@@ -75,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--keep_intermediate", action="store_true")
     ap.add_argument("--summary", default=None,
                     help="JSON summary path (default <out_dir>/summary.json)")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra pipeline CLI flags, e.g. --extra "
+                         "--assume_static --flow_check_thres 3.0 "
+                         "(ScanNet protocol parity, run_particlesfm.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -99,6 +103,7 @@ def main(argv=None):
          "--sfm_type", args.sfm_type]
         + (["--skip_exists"] if args.skip_exists else [])
         + (["--keep_intermediate"] if args.keep_intermediate else [])
+        + list(args.extra)
     )
     cfg = config_from_args(pargs)
 
