@@ -234,6 +234,11 @@ def _load_seg_apply(cfg: Config):
 
     @jax.jit
     def _apply(variables, traj, depth, valid):
+        if traj.dtype == jnp.uint16:
+            # u16 fixed-point upload (motionseg/infer.py): halves the H2D
+            # bytes through the ~4 MB/s tunnel; 1/65535 of the frame is
+            # ~0.016 px — far below the classifier's sensitivity
+            traj = traj.astype(jnp.float32) * (1.0 / 65535.0)
         L = depth.shape[1]
         depth_r = jax.image.resize(
             depth, (depth.shape[0], L, input_hw[0], input_hw[1]), "bilinear"
@@ -246,6 +251,7 @@ def _load_seg_apply(cfg: Config):
     def apply(traj, depth, valid):
         return _apply(variables, traj, depth, valid)
 
+    apply.accepts_u16 = True    # motionseg/infer.py packs coords as u16
     _APPLY_CACHE[key] = apply
     return apply
 

@@ -1,0 +1,77 @@
+"""Head-to-head: Pallas windowed-DMA correlation lookup vs XLA row-gather.
+
+Settles VERDICT round-3 weak #4 with a real-chip number at the production
+shape: full RAFT forward at 1024x436 (net works at 1/8 res on the pair axis
+block the pipeline uses), use_pallas False vs True, steady-state.
+
+    python scripts/bench_corr_lookup.py [--pairs 8] [--iters 8] [--reps 3]
+
+Each rep uses FRESH random images (the tunnel result-caches identical
+dispatches — CLAUDE.md).
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--height", type=int, default=440)
+    ap.add_argument("--width", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+
+    import particlesfm_tpu  # noqa: F401
+    from particlesfm_tpu.models.raft import compact_raft
+
+    rng = np.random.default_rng(0)
+    B, H, W = args.pairs, args.height, args.width
+
+    results = {}
+    for pallas in (False, True):
+        model = compact_raft(use_pallas=pallas)
+        img = jnp.zeros((H, W, 3), jnp.float32)
+        fvars = model.init(jax.random.PRNGKey(0), img, img, iters=1)
+
+        @jax.jit
+        def run(v, a, b):
+            return jax.vmap(
+                lambda x, y: model.apply(v, x, y, iters=args.iters))(a, b)
+
+        # warm (compile)
+        a = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+        t0 = time.time()
+        jax.block_until_ready(run(fvars, a, a))
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(args.reps):
+            a = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+            b = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
+            jax.block_until_ready((a, b))
+            t0 = time.time()
+            jax.block_until_ready(run(fvars, a, b))
+            ts.append(time.time() - t0)
+        dt = min(ts)
+        results["pallas" if pallas else "gather"] = dt
+        print(f"use_pallas={pallas}: {dt:.3f}s for {B} pairs "
+              f"({B/dt:.1f} pairs/s; compile+first {compile_s:.1f}s)",
+              flush=True)
+    ratio = results["pallas"] / results["gather"]
+    print(f"pallas/gather time ratio: {ratio:.3f} "
+          f"({'pallas wins' if ratio < 1 else 'gather wins'})")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,30 @@ def test_reference_dict_roundtrip_with_labels():
     assert back.num_tracks == 5
     np.testing.assert_array_equal(back.mask, mask)
     np.testing.assert_array_equal(back.labels[mask], labels[mask])
+
+
+def test_segment_tracks_u16_matches_f32():
+    """An apply fn declaring accepts_u16 receives fixed-point coords and must
+    produce the same labels after on-device rescale (pipeline/run.py parity:
+    the quantization step is 1/65535 of the frame, ~0.016 px)."""
+    rng = np.random.default_rng(4)
+    N, T, H, W = 48, 12, 16, 24
+    xy = rng.uniform(0, [W, H], (N, T, 2)).astype(np.float32)
+    mask = np.ones((N, T), bool)
+    tracks = TrackArrays(xy=xy, mask=mask)
+    depth = np.zeros((T, H, W), np.float32)
+
+    def base(traj, depth_, valid):
+        first = jnp.sum(jnp.where(valid[..., None], traj, 0), axis=2) / jnp.maximum(
+            jnp.sum(valid, 2, keepdims=True), 1
+        )
+        return jnp.where(first[..., 0] > 0.5, 10.0, -10.0)
+
+    def u16_apply(traj, depth_, valid):
+        assert traj.dtype == jnp.uint16
+        return base(traj.astype(jnp.float32) / 65535.0, depth_, valid)
+
+    u16_apply.accepts_u16 = True
+    ref = segment_tracks(base, tracks, depth, (H, W), window_size=10)
+    got = segment_tracks(u16_apply, tracks, depth, (H, W), window_size=10)
+    np.testing.assert_array_equal(got.labels, ref.labels)
