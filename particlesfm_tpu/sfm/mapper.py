@@ -780,7 +780,9 @@ def _refine_and_finish(
     tvec[sub] = np.asarray(t_cur)
     registered = np.zeros(num_images, bool)
     registered[sub] = True
-    frame_full = sub[np.asarray(obs.frame_idx).reshape(-1)].reshape(obs.frame_idx.shape)
+    # obs (the full set here) mirrors the host arrays obs_t.frame_idx/.uv it
+    # was uploaded from — reuse them instead of a ~135 MB D2H over the tunnel
+    frame_full = sub[obs_t.frame_idx.reshape(-1)].reshape(obs_t.frame_idx.shape)
 
     return Reconstruction(
         num_images=num_images,
@@ -793,7 +795,7 @@ def _refine_and_finish(
         points=np.asarray(X),
         track_valid=np.asarray(valid),
         obs_frame_idx=frame_full.astype(np.int32),
-        obs_uv=np.asarray(obs.uv),
+        obs_uv=obs_t.uv,
         obs_mask=np.asarray(good),
         # f16 over the tunnel (D2H ~10-20 MB/s; a [283k, 48] f32 error map is
         # 54 MB): per-obs reprojection errors feed stats/export means only
