@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -47,6 +48,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--raft_ckpt", type=str, default=None)
     p.add_argument("--seg_ckpt", type=str, default=None)
     p.add_argument("--depth_ckpt", type=str, default=None)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="dotted config override, e.g. "
+                        "--set sfm.ba.refine_focal_length=false "
+                        "(values parse as JSON, falling back to string)")
     return p
 
 
@@ -66,6 +72,17 @@ def config_from_args(args) -> Config:
     cfg.flow.checkpoint = args.raft_ckpt
     cfg.motionseg.checkpoint = args.seg_ckpt
     cfg.depth.checkpoint = args.depth_ckpt
+    if getattr(args, "overrides", None):
+        from ..utils.config import apply_overrides
+
+        ov = {}
+        for item in args.overrides:
+            key, _, raw = item.partition("=")
+            try:
+                ov[key] = json.loads(raw)
+            except json.JSONDecodeError:
+                ov[key] = raw
+        apply_overrides(cfg, ov)
     return cfg
 
 

@@ -119,8 +119,17 @@ def main(argv=None):
         img_dir = seq_root / name / "images"
         out = out_root / name / "particlesfm_tpu"
         nf = len(list(img_dir.glob("*.png")))
+        out.mkdir(parents=True, exist_ok=True)
         t0 = time.time()
-        run_pipeline(img_dir, out, cfg, log=lambda *a: None)
+        # per-sequence pipeline log (stage sub-timings + mapper telemetry):
+        # sweeps are the only protocol-scale runs of the hard sequences, and
+        # silencing them made SfM-time outliers undiagnosable (round 4)
+        with open(out / "pipeline.log", "w") as lf:
+            def _log(*a):
+                lf.write(f"[{time.time() - t0:7.1f}s] " +
+                         " ".join(str(x) for x in a) + "\n")
+                lf.flush()
+            run_pipeline(img_dir, out, cfg, log=_log)
         dt = time.time() - t0
         stages = parse_timings(out / "timings.txt")
         per_seq[name] = {"wall_s": round(dt, 2), "frames": nf,
