@@ -134,12 +134,19 @@ def _inv3(M):
     return adj / det[..., None, None]
 
 
-def default_free_masks(num_views: int, refine_rotation: bool = True):
-    """Gauge fixing per global_mapper.cc:430-435: pin view 0's full pose and
-    view 1's tvec x-component; optionally freeze all rotations (first BA phase)."""
+def default_free_masks(num_views: int, refine_rotation: bool = True,
+                       anchor=(0, 1)):
+    """Gauge fixing per global_mapper.cc:430-435: pin one view's full pose and
+    a second view's tvec x-component; optionally freeze all rotations (first
+    BA phase). `anchor` selects WHICH views are pinned: the reference pins
+    views (0, 1), but pinning locks their initial estimates in — when
+    rotation averaging mis-estimates exactly those views, BA can never
+    recover them (round-4 seq_12 failure: anchors 155 deg off, everything
+    else correct). The mapper passes its two highest-support views instead."""
+    a0, a1 = int(anchor[0]), int(anchor[1])
     free = jnp.ones((num_views, 6), jnp.float32)
-    free = free.at[0].set(0.0)
-    free = free.at[1, 3].set(0.0)
+    free = free.at[a0].set(0.0)
+    free = free.at[a1, 3].set(0.0)
     if not refine_rotation:
         free = free.at[:, :3].set(0.0)
     return free

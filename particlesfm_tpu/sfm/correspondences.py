@@ -241,13 +241,20 @@ def full_epipolar_votes(
     # device-resident inputs passed as ARGUMENTS to the jitted chunk kernel:
     # closing over them constant-folds ~100 MB of track coordinates into the
     # executable (multi-minute compile, 142 MB serialized, and a persistent-
-    # cache key that changes with the data — measured round 3)
+    # cache key that changes with the data — measured round 3).
+    # Track axis bucketed to 32768 multiples: every sequence has a different
+    # N and the chunk kernel would otherwise recompile per sequence (same
+    # round-4 finding as the mapper's triangulation tail).
+    n_pad = -(-N // 32768) * 32768 - N
+    if n_pad:
+        xy = np.pad(xy, ((0, n_pad), (0, 0), (0, 0)))
+        mask = np.pad(mask, ((0, n_pad), (0, 0)))
     xyn = jax.device_put(
         (jnp.asarray(xy) - jnp.asarray(pp, jnp.float32)) / float(focal))
     jmask = jax.device_put(jnp.asarray(mask))
 
-    good = np.zeros(N, np.int64)
-    total = np.zeros(N, np.int64)
+    good = np.zeros(N + n_pad, np.int64)
+    total = np.zeros(N + n_pad, np.int64)
     Epairs = len(pairs)
     for s in range(0, Epairs, chunk):
         pij = np.asarray(pairs[s:s + chunk], np.int32)
@@ -264,7 +271,7 @@ def full_epipolar_votes(
                             jnp.asarray(th), jnp.asarray(pvalid))
         good += np.asarray(g, np.int64)
         total += np.asarray(t, np.int64)
-    return good, total
+    return good[:N], total[:N]
 
 
 def _votes_chunk_impl(xyn, jmask, pij, E, thr, pvalid):

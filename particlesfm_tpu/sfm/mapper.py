@@ -471,6 +471,24 @@ def _run_global_mapper_once(
         if V < 3:
             return _failed(num_images, params, height, width)
 
+    # ---- gauge anchors: the two best-supported covisible views -------------
+    # The reference pins views (0, 1) (global_mapper.cc:430-435), but a pinned
+    # view's initial estimate can never be corrected by BA — when rotation
+    # averaging happens to mis-estimate exactly those views the whole
+    # reconstruction anchors to garbage (round-4 seq_12: anchors 155 deg off,
+    # every other relative pose correct). Pin the two views with the highest
+    # verified-inlier support instead; they share a verified pair, so the
+    # scale gauge (a1's tx) rests on a real baseline.
+    deg = np.zeros(V, np.int64)
+    np.add.at(deg, spairs[:, 0], counts)
+    np.add.at(deg, spairs[:, 1], counts)
+    a0 = int(np.argmax(deg))
+    touching = spairs[(spairs[:, 0] == a0) | (spairs[:, 1] == a0)]
+    partners = np.unique(touching[touching != a0])
+    a1 = int(partners[np.argmax(deg[partners])]) if len(partners) else (a0 + 1) % V
+    anchor = (a0, a1)
+    log(f"[mapper] gauge anchors: views {a0}, {a1} (support {deg[a0]}, {deg[a1]})")
+
     # ---- track observations in the registered subset ----------------------
     obs_t = build_observations(tracks, static_mask, min_track_len=2)
     sub_frame = full2sub[obs_t.frame_idx]
@@ -484,8 +502,20 @@ def _run_global_mapper_once(
     log(f"[mapper] {N} tracks with >= 2 registered observations")
     if N < 8:
         return _failed(num_images, params, height, width)
+    # Track-count BUCKETING: every sequence produces a different N, and the
+    # full-set device kernels (triangulate_tracks / filter_observations /
+    # glomap positioning) jit-specialize on it — a 13-sequence sweep paid a
+    # fresh ~2-minute XLA compile of the whole mapper tail per sequence
+    # (measured round 4: "initial triangulation 138 s" on a shape-cold
+    # sequence vs 0.6 s shape-warm). Pad the track axis up to a 32768
+    # multiple: a handful of shapes ever compile, padded rows carry
+    # all-False masks (>=2-obs gates exclude them everywhere), and hosts
+    # slice [:N] at finish.
+    n_pad = -(-N // 32768) * 32768 - N
     obs = TrackObs(
-        jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv), jnp.asarray(obs_t.mask)
+        jnp.asarray(np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0)))),
+        jnp.asarray(np.pad(obs_t.uv, ((0, n_pad), (0, 0), (0, 0)))),
+        jnp.asarray(np.pad(obs_t.mask, ((0, n_pad), (0, 0)))),
     )
 
     if cfg.sfm_type == "glomap" or cfg.position.method == "glomap":
@@ -506,6 +536,9 @@ def _run_global_mapper_once(
         Rt = R_np[obs_t.frame_idx]                     # [N, K, 3, 3]
         a_w = np.einsum("nkji,nkj->nki", Rt, a_cam)
         b_w = Rt[..., 2, :].copy()                     # R^T e_z rows
+        if n_pad:                # match obs's bucketed track axis
+            a_w = np.pad(a_w, ((0, n_pad), (0, 0), (0, 0)))
+            b_w = np.pad(b_w, ((0, n_pad), (0, 0), (0, 0)))
         p_est, _, _, f_est = global_positioning_joint_focal(
             V, jnp.asarray(a_w), jnp.asarray(b_w), obs.frame_idx, obs.mask,
             jax.random.PRNGKey(cfg.seed), g0=1.0 / focal,
@@ -530,7 +563,7 @@ def _run_global_mapper_once(
         if med_err < 8.0 * cfg.ba.filter_max_reproj_error_px and frac_valid > 0.5:
             return _refine_and_finish(
                 tracks, cfg, params_g, height, width, num_images, sub, full2sub,
-                obs, obs_t, q_est, t_est, V, N, log,
+                obs, obs_t, q_est, t_est, V, N, log, anchor=anchor,
             )
         log("[mapper] glomap positioning rejected; falling back to LUD path")
 
@@ -642,13 +675,13 @@ def _run_global_mapper_once(
     t_est = se3.pose_from_center(q_est, p_est)  # register: t = -R p
     return _refine_and_finish(
         tracks, cfg, params, height, width, num_images, sub, full2sub,
-        obs, obs_t, q_est, t_est, V, N, log,
+        obs, obs_t, q_est, t_est, V, N, log, anchor=anchor,
     )
 
 
 def _refine_and_finish(
     tracks, cfg, params, height, width, num_images, sub, full2sub,
-    obs, obs_t, q_est, t_est, V, N, log,
+    obs, obs_t, q_est, t_est, V, N, log, anchor=(0, 1),
 ):
     """Shared tail: triangulation + two-phase iterative refinement + packing."""
     import os
@@ -698,7 +731,7 @@ def _refine_and_finish(
     c0 = np.asarray(se3.camera_center(q_cur, t_cur))
     target_spread = float(np.linalg.norm(c0 - c0.mean(0), axis=1).mean())
     for phase, refine_rot in ((0, False), (1, True)):
-        free = default_free_masks(V, refine_rotation=refine_rot)
+        free = default_free_masks(V, refine_rotation=refine_rot, anchor=anchor)
         prev_frac = -1.0
         for it in range(cfg.ba.max_refinements):
             state = bundle_adjust(
@@ -757,6 +790,84 @@ def _refine_and_finish(
                 break
             prev_frac = frac
 
+    # ---- broken-view rescue (PnP re-registration) -------------------------
+    # A view whose kept-observation fraction collapsed while the rest of the
+    # reconstruction is consistent has a wrong POSE, not bad tracks: rotation
+    # averaging mis-initialized it and the annealed gate quarantined its
+    # observations instead of fixing it (soft-L1 gradients vanish at 100px+
+    # residuals, so BA cannot pull it back). Re-register such views by PnP
+    # RANSAC against the reconstruction and run one more joint round. The
+    # reference's incremental backend gets this for free (every view enters
+    # by PnP); its global mapper has the same failure mode.
+    fi_h = np.asarray(obs.frame_idx)
+    m_h = np.asarray(obs.mask)
+    g_h = np.asarray(good)
+    v_h = np.asarray(valid)
+    tot_v = np.bincount(fi_h[m_h], minlength=V)
+    kept_v = np.bincount(fi_h[m_h & g_h], minlength=V)
+    frac_v = kept_v / np.maximum(tot_v, 1)
+    med_frac = float(np.median(frac_v[tot_v > 0])) if (tot_v > 0).any() else 0.0
+    bad_views = np.nonzero((tot_v > 50) & (frac_v < 0.5 * med_frac)
+                           & (frac_v < 0.4))[0]
+    if len(bad_views) and len(bad_views) <= max(2, V // 3):
+        from ..globalsfm.pnp import estimate_pose_pnp
+
+        X_h = np.asarray(X)
+        uv_h = np.asarray(obs.uv)
+        pp_now = np.asarray(jparams)[2:4]
+        f_now = float(np.asarray(jparams)[0])
+        thr_n = jnp.float32((cfg.ba.filter_max_reproj_error_px / f_now) ** 2)
+        CAP = 4096
+        q_np, t_np = np.asarray(q_cur).copy(), np.asarray(t_cur).copy()
+        n_fixed = 0
+        for v in bad_views:
+            rows, slots = np.nonzero((fi_h == v) & m_h & v_h[:, None])
+            if len(rows) < 30:
+                continue
+            if len(rows) > CAP:
+                pick = np.linspace(0, len(rows) - 1, CAP).astype(int)
+                rows, slots = rows[pick], slots[pick]
+            Xc = np.zeros((CAP, 3), np.float32)
+            xc = np.zeros((CAP, 2), np.float32)
+            mc = np.zeros(CAP, bool)
+            Xc[:len(rows)] = X_h[rows]
+            xc[:len(rows)] = (uv_h[rows, slots] - pp_now) / f_now
+            mc[:len(rows)] = True
+            res = estimate_pose_pnp(
+                jax.random.PRNGKey(int(v)), jnp.asarray(Xc), jnp.asarray(xc),
+                jnp.asarray(mc), thr_n)
+            n_inl = int(res.num_inliers)
+            if n_inl >= 30 and n_inl >= 0.4 * len(rows):
+                q_np[v] = np.asarray(res.q)
+                t_np[v] = np.asarray(res.t)
+                n_fixed += 1
+        log(f"[mapper] view rescue: {len(bad_views)} low-support views "
+            f"(median kept {med_frac:.2f}), {n_fixed} re-registered by PnP")
+        if n_fixed:
+            q_cur, t_cur = jnp.asarray(q_np), jnp.asarray(t_np)
+            state = bundle_adjust(
+                q_cur, t_cur, jparams, X, obs,
+                default_free_masks(V, refine_rotation=True, anchor=anchor),
+                valid.astype(jnp.float32),
+                max_iterations=cfg.ba.max_num_iterations,
+                loss_scale=cfg.ba.loss_scale,
+                use_soft_l1=(cfg.ba.loss == "soft_l1"),
+                refine_focal=cfg.ba.refine_focal_length,
+                function_tolerance=cfg.ba.function_tolerance,
+            )
+            q_cur, t_cur, X, jparams = state.q, state.t, state.X, state.params
+            c = np.asarray(se3.camera_center(q_cur, t_cur))
+            spread = float(np.linalg.norm(c - c.mean(0), axis=1).mean())
+            scale = target_spread / max(spread, 1e-9)
+            t_cur = t_cur * scale
+            X = triangulate_tracks(q_cur, t_cur, jparams, obs)
+            good, valid, errs = filter_observations(
+                q_cur, t_cur, jparams, X, obs, thr,
+                cfg.ba.filter_min_tri_angle_deg,
+            )
+            log(f"[mapper] post-rescue round: cost={float(state.cost):.3e} "
+                f"valid-tracks={int(valid.sum())} lm-iters={int(state.iters)}")
+
     if subsampled:
         # bring every track back in against the final geometry: triangulate the
         # full set and gate it with the loop's final threshold
@@ -781,7 +892,8 @@ def _refine_and_finish(
     registered = np.zeros(num_images, bool)
     registered[sub] = True
     # obs (the full set here) mirrors the host arrays obs_t.frame_idx/.uv it
-    # was uploaded from — reuse them instead of a ~135 MB D2H over the tunnel
+    # was uploaded from — reuse them instead of a ~135 MB D2H over the tunnel.
+    # Device arrays carry the bucket-padded track axis; slice back to N.
     frame_full = sub[obs_t.frame_idx.reshape(-1)].reshape(obs_t.frame_idx.shape)
 
     return Reconstruction(
@@ -792,14 +904,14 @@ def _refine_and_finish(
         params=np.asarray(jparams),
         height=height,
         width=width,
-        points=np.asarray(X),
-        track_valid=np.asarray(valid),
+        points=np.asarray(X)[:N],
+        track_valid=np.asarray(valid)[:N],
         obs_frame_idx=frame_full.astype(np.int32),
         obs_uv=obs_t.uv,
-        obs_mask=np.asarray(good),
+        obs_mask=np.asarray(good)[:N],
         # f16 over the tunnel (D2H ~10-20 MB/s; a [283k, 48] f32 error map is
         # 54 MB): per-obs reprojection errors feed stats/export means only
-        obs_error=np.asarray(jnp.asarray(errs, jnp.float16), np.float32),
+        obs_error=np.asarray(jnp.asarray(errs, jnp.float16), np.float32)[:N],
         track_row=obs_t.track_row,
         support=float(jnp.sum((good & valid[:, None]).astype(jnp.float32))
                       / jnp.sum(obs.mask)),
