@@ -485,9 +485,21 @@ def _run_global_mapper_once(
     a0 = int(np.argmax(deg))
     touching = spairs[(spairs[:, 0] == a0) | (spairs[:, 1] == a0)]
     partners = np.unique(touching[touching != a0])
-    a1 = int(partners[np.argmax(deg[partners])]) if len(partners) else (a0 + 1) % V
+    if len(partners):
+        # scale anchor: pinning a1's tx only fixes scale if the a0->a1
+        # baseline is real — the highest-covisibility partner is the
+        # SMALLEST-baseline one (adjacent frame), which made the gauge
+        # singular and stalled LM outright (round-4 seq_00: every step
+        # rejected at cost 3.8e8). Among well-supported partners, take the
+        # farthest in sequence index — for video that is the largest
+        # baseline covisible with a0.
+        strong = partners[deg[partners] >= 0.25 * deg[partners].max()]
+        a1 = int(strong[np.argmax(np.abs(strong - a0))])
+    else:
+        a1 = (a0 + 1) % V
     anchor = (a0, a1)
-    log(f"[mapper] gauge anchors: views {a0}, {a1} (support {deg[a0]}, {deg[a1]})")
+    log(f"[mapper] gauge anchors: views {a0}, {a1} "
+        f"(support {deg[a0]}, {deg[a1]})")
 
     # ---- track observations in the registered subset ----------------------
     obs_t = build_observations(tracks, static_mask, min_track_len=2)
