@@ -110,6 +110,63 @@ def run_global_mapper(
     """
     cfg = cfg or SfmConfig()
     rec = _run_global_mapper_once(tracks, height, width, cfg, params, log)
+
+    # ---- staged self-diagnosing retries (round-4 sweep findings) -----------
+    # Both triggers use only internal evidence; both retries are full re-runs
+    # whose compiled shapes are already warm, so they cost solve time only on
+    # the scenes that need them.
+    #
+    # (a) Focal-drift retry: the flow self-calibration prior measured within
+    # 1-3% of truth on every protocol sweep sequence, while BA's joint focal
+    # refinement drifted +10..55% off it on exactly the high-error scenes
+    # (structured sub-pixel flow bias at 1e5-correspondence scale). When BA
+    # disagrees with a trusted prior by >15%, re-run with the focal held and
+    # keep the better-scoring model (preferring the held-focal one unless
+    # clearly worse: the prior is the validated measurement).
+    if (params is not None and cfg.ba.refine_focal_length
+            and rec.num_registered >= 3):
+        prior_f = float(params[0])
+        drift = abs(float(rec.params[0]) - prior_f) / max(prior_f, 1e-6)
+        if drift > 0.15:
+            log(f"[mapper] BA focal {float(rec.params[0]):.1f} drifted "
+                f"{100 * drift:.0f}% off the calibrated prior {prior_f:.1f}; "
+                "retrying with focal held")
+            from dataclasses import replace as _dc_replace
+
+            cfg_hold = _dc_replace(
+                cfg, ba=_dc_replace(cfg.ba, refine_focal_length=False))
+            rec_h = _run_global_mapper_once(
+                tracks, height, width, cfg_hold, params, log)
+            s1 = _model_score(rec, height, width)
+            s2 = _model_score(rec_h, height, width)
+            log(f"[mapper] focal-retry scores: drifted {s1:.0f} vs "
+                f"held {s2:.0f}")
+            if s2 > 0.9 * s1:
+                rec = rec_h
+    #
+    # (b) Solve-collapse retry: a valid-track fraction below 0.5 after the
+    # full-set retriangulation marks a failed position init (LUD out of
+    # basin on planar/low-parallax scenes). The glomap bearing solve is an
+    # independent estimator with different degeneracies — measured rescuing
+    # seq_05 0.74 -> 0.005 ATE where every LUD-path variant failed.
+    if cfg.sfm_type != "glomap" and rec.num_registered >= 3:
+        vfrac = (float(rec.track_valid.sum()) / max(len(rec.track_valid), 1)
+                 if len(rec.track_valid) else 0.0)
+        if vfrac < 0.5:
+            log(f"[mapper] valid-track fraction {vfrac:.2f} after full-set "
+                "retriangulation; retrying with glomap positioning")
+            from dataclasses import replace as _dc_replace
+
+            cfg_g = _dc_replace(cfg, sfm_type="glomap")
+            rec_g = _run_global_mapper_once(
+                tracks, height, width, cfg_g, params, log)
+            s1 = _model_score(rec, height, width)
+            s2 = _model_score(rec_g, height, width)
+            log(f"[mapper] glomap-retry scores: lud {s1:.0f} vs "
+                f"glomap {s2:.0f}")
+            if s2 > s1:
+                rec = rec_g
+
     # retry trigger: low support AND compact image coverage. A dominant-object
     # lock explains observations only inside the object's (moving, compact)
     # image region; a broad-coverage model IS the background — its low support
@@ -896,13 +953,42 @@ def _refine_and_finish(
             cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
         )
 
+    # ---- drop views the reconstruction cannot explain ----------------------
+    # After rescue, a view whose kept-observation fraction is still collapsed
+    # has a pose neither BA nor PnP could make consistent. Exporting it
+    # anyway poisons the trajectory metrics with one arbitrarily-wrong frame
+    # (round-4 seq_07: one broken view -> 35 deg mean RPE-r); COLMAP-class
+    # mappers leave such images unregistered instead.
+    good_h = np.asarray(good)[:N]
+    valid_h = np.asarray(valid)[:N]
+    fi_h2 = obs_t.frame_idx
+    m_h2 = obs_t.mask
+    tot2 = np.bincount(fi_h2[m_h2], minlength=V)
+    kept2 = np.bincount(fi_h2[m_h2 & good_h & valid_h[:, None]], minlength=V)
+    frac2 = kept2 / np.maximum(tot2, 1)
+    med2 = float(np.median(frac2[tot2 > 0])) if (tot2 > 0).any() else 0.0
+    drop = (tot2 > 50) & (frac2 < 0.25 * med2) & (frac2 < 0.25)
+    reg_sub = ~drop
+    if drop.any():
+        if drop.sum() <= max(1, V // 8):
+            log(f"[mapper] dropping {int(drop.sum())} unexplainable view(s) "
+                f"{np.nonzero(drop)[0].tolist()} (kept fraction "
+                f"{frac2[drop].round(2).tolist()} vs median {med2:.2f})")
+            good_h = good_h & reg_sub[fi_h2]
+        else:
+            # a broad collapse is a failed solve, not a few bad frames;
+            # dropping half the sequence would hide it from the <80% rule
+            log(f"[mapper] {int(drop.sum())} views below kept-fraction gate; "
+                "keeping all (solve-level failure, not per-view)")
+            reg_sub = np.ones(V, bool)
+
     # ---- expand back to full image indexing -------------------------------
     qvec = np.tile(np.array([1.0, 0, 0, 0], np.float32), (num_images, 1))
     tvec = np.zeros((num_images, 3), np.float32)
     qvec[sub] = np.asarray(q_cur)
     tvec[sub] = np.asarray(t_cur)
     registered = np.zeros(num_images, bool)
-    registered[sub] = True
+    registered[sub] = reg_sub
     # obs (the full set here) mirrors the host arrays obs_t.frame_idx/.uv it
     # was uploaded from — reuse them instead of a ~135 MB D2H over the tunnel.
     # Device arrays carry the bucket-padded track axis; slice back to N.
@@ -917,10 +1003,10 @@ def _refine_and_finish(
         height=height,
         width=width,
         points=np.asarray(X)[:N],
-        track_valid=np.asarray(valid)[:N],
+        track_valid=valid_h & (good_h.sum(axis=1) >= 2),
         obs_frame_idx=frame_full.astype(np.int32),
         obs_uv=obs_t.uv,
-        obs_mask=np.asarray(good)[:N],
+        obs_mask=good_h,
         # f16 over the tunnel (D2H ~10-20 MB/s; a [283k, 48] f32 error map is
         # 54 MB): per-obs reprojection errors feed stats/export means only
         obs_error=np.asarray(jnp.asarray(errs, jnp.float16), np.float32)[:N],
