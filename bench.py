@@ -3,14 +3,15 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: SfM-stage frames/s, compared against the reference's ONLY
-published runtime — gcolmap (Theia mode) at 3.35 min per 45.6-frame Sintel
-sequence = 0.2269 frames/s for the SfM stage (/root/reference/README.md:22).
-This is the apples-to-apples comparison: same stage, comparable track counts
-(~1e5), protocol-scale input. The detail block additionally reports the full
-end-to-end (PNG images -> poses) rate, which the reference never published
-(its end-to-end additionally pays RAFT + MiDaS + seg GPU inference, so its
-end-to-end rate is strictly below 0.2269 fps).
+Headline metric (round 4+): END-TO-END frames/s — PNG images in, converted
+poses out, every stage on the clock. vs_baseline compares against the
+reference's ONLY published runtime, which covers its SfM stage alone —
+gcolmap (Theia mode) at 3.35 min per 45.6-frame Sintel sequence = 0.2269
+frames/s (/root/reference/README.md:22). The reference's true end-to-end
+rate is strictly LOWER (it additionally pays RAFT + MiDaS + seg GPU
+inference it never timed), so vs_baseline understates the real speedup.
+The detail block retains the SfM-stage-only rate for the stage-vs-stage
+comparison.
 
 Reliability contract with the driver: the driver runs this under a finite
 timeout; a run that dies prints nothing and scores zero (round-2 lesson).
@@ -56,12 +57,14 @@ def _fallback(signum=None, frame=None):
         if not stages:
             stages = _read_stage_timings(Path("/tmp/bench_out_warm/timings.txt"))
         sfm_s = stages.get("sfm", 0.0)
+        tot_s = sum(stages.values())
         res = {
-            "metric": "sfm_stage_frames_per_s_sintel_protocol",
-            "value": round(48.0 / sfm_s, 4) if sfm_s else 0.0,
+            "metric": "end_to_end_frames_per_s_sintel_protocol",
+            "value": round(48.0 / tot_s, 4) if tot_s else 0.0,
             "unit": "frames/s",
-            "vs_baseline": round(48.0 / sfm_s / REFERENCE_FPS, 3) if sfm_s else 0.0,
+            "vs_baseline": round(48.0 / tot_s / REFERENCE_FPS, 3) if tot_s else 0.0,
             "detail": {"partial": True, "stage_seconds": stages,
+                       "sfm_stage_fps": round(48.0 / sfm_s, 4) if sfm_s else 0.0,
                        "note": "budget expired mid-run; compile-inclusive"},
         }
     _emit(res)
@@ -134,26 +137,28 @@ def main():
         sfm_fps = nframes / sfm_s if sfm_s else 0.0
         e2e_fps = nframes / dt
         return {
-            "metric": "sfm_stage_frames_per_s_sintel_protocol",
-            "value": round(sfm_fps, 4),
+            "metric": "end_to_end_frames_per_s_sintel_protocol",
+            "value": round(e2e_fps, 4),
             "unit": "frames/s",
-            "vs_baseline": round(sfm_fps / REFERENCE_FPS, 3),
+            "vs_baseline": round(e2e_fps / REFERENCE_FPS, 3),
             "detail": {
                 "protocol": "1024x436 x %d frames, pixels-to-poses (dynamic seq)"
                             % nframes,
                 "compile_inclusive": compile_inclusive,
                 "seconds_per_seq_end_to_end": round(dt, 2),
-                "end_to_end_fps": round(e2e_fps, 4),
-                "end_to_end_vs_reference_sfm_stage": round(e2e_fps / REFERENCE_FPS, 3),
+                "sfm_stage_fps": round(sfm_fps, 4),
+                "sfm_stage_vs_reference_sfm_stage": round(
+                    sfm_fps / REFERENCE_FPS, 3),
                 "stage_seconds": stages,
                 "registered": int(res.registered),
                 "ate_sim3": round(float(res.ate), 5) if not res.failed else None,
                 "rpe_trans": round(float(res.rpe_trans), 5) if not res.failed else None,
                 "rpe_rot_deg": round(float(res.rpe_rot_deg), 5) if not res.failed else None,
                 "reference_sfm_fps": round(REFERENCE_FPS, 4),
-                "note": "vs_baseline compares SfM stage to the reference's "
-                        "published SfM-stage rate (README.md:22); the "
-                        "reference's end-to-end rate is strictly lower",
+                "note": "vs_baseline compares OUR end-to-end rate to the "
+                        "reference's published SfM-STAGE-ONLY rate "
+                        "(README.md:22) — its end-to-end rate is strictly "
+                        "lower, so the true speedup exceeds vs_baseline",
             },
         }
 

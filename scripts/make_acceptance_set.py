@@ -48,8 +48,13 @@ def render_sequence(args):
     from particlesfm_tpu.synth import random_scene
 
     rng = np.random.default_rng(1000003 * seed + seq_idx)
-    dynamic = seq_idx % 2 == 1          # ~half the sequences have movers
-    name = f"seq_{seq_idx:02d}{'_dyn' if dynamic else ''}"
+    # index >= 13: fast-motion extension (Sintel ambush-class camera speed —
+    # stride-2 displacements reach the 60-100 px range that exposed the
+    # round-3 flow net's large-motion tail, VERDICT r3 task 5)
+    fast = seq_idx >= 13
+    dynamic = (seq_idx % 2 == 1) and not fast
+    name = f"seq_{seq_idx:02d}" + ("_fast" if fast else
+                                   ("_dyn" if dynamic else ""))
     out = Path(out_root)
     seq_dir = out / "seqs" / name
     gt_dir = out / "gt" / name
@@ -67,7 +72,8 @@ def render_sequence(args):
         width=w,
         focal=focal,
         num_dynamic=int(rng.integers(1, 3)) if dynamic else 0,
-        motion_scale=float(rng.uniform(0.06, 0.20)),
+        motion_scale=(float(rng.uniform(0.38, 0.55)) if fast
+                      else float(rng.uniform(0.06, 0.20))),
         rot_scale=float(rng.uniform(0.08, 0.32)),
         # static foreground objects give the scenes Sintel-like depth contrast
         # (the near-planar surface alone leaves two-view geometry
