@@ -22,7 +22,7 @@ sparse problem onto dense batched blocks:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -168,6 +168,7 @@ def _bundle_adjust_impl(
     refine_focal: bool = False,
     solver: str = "dense",
     function_tolerance: float = 1e-6,
+    focal_bounds: Optional[jnp.ndarray] = None,   # [2] trust region for f
     reduce_fn=None,
 ) -> BAState:
     """LM bundle adjustment; optionally solves the shared focal length jointly.
@@ -382,6 +383,14 @@ def _bundle_adjust_impl(
         q_new = rot.quat_normalize(rot.quat_multiply(dq, q))
         t_new = t + dc[:, 3:]
         X_new = X + dp
+        if focal_bounds is not None:
+            # focal trust region: the flow self-calibration prior measures f
+            # to 1-3% (DESIGN round-4); letting the joint solve walk 2x away
+            # from it only ever happened on structured-bias data and always
+            # made the metric geometry worse. Clamp the STEP so the solve
+            # fine-tunes within the bounds but cannot run away.
+            df = jnp.clip(params[0] + df, focal_bounds[0],
+                          focal_bounds[1]) - params[0]
         params_new = params.at[0].add(df).at[1].add(df)
         _, cost1 = _robust_weights(
             q_new, t_new, params_new, X_new, obs, loss_scale, use_soft_l1, pm

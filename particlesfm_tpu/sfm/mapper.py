@@ -111,39 +111,13 @@ def run_global_mapper(
     cfg = cfg or SfmConfig()
     rec = _run_global_mapper_once(tracks, height, width, cfg, params, log)
 
-    # ---- staged self-diagnosing retries (round-4 sweep findings) -----------
-    # Both triggers use only internal evidence; both retries are full re-runs
-    # whose compiled shapes are already warm, so they cost solve time only on
-    # the scenes that need them.
-    #
-    # (a) Focal-drift retry: the flow self-calibration prior measured within
-    # 1-3% of truth on every protocol sweep sequence, while BA's joint focal
-    # refinement drifted +10..55% off it on exactly the high-error scenes
-    # (structured sub-pixel flow bias at 1e5-correspondence scale). When BA
-    # disagrees with a trusted prior by >15%, re-run with the focal held and
-    # keep the better-scoring model (preferring the held-focal one unless
-    # clearly worse: the prior is the validated measurement).
-    if (params is not None and cfg.ba.refine_focal_length
-            and rec.num_registered >= 3):
-        prior_f = float(params[0])
-        drift = abs(float(rec.params[0]) - prior_f) / max(prior_f, 1e-6)
-        if drift > 0.15:
-            log(f"[mapper] BA focal {float(rec.params[0]):.1f} drifted "
-                f"{100 * drift:.0f}% off the calibrated prior {prior_f:.1f}; "
-                "retrying with focal held")
-            from dataclasses import replace as _dc_replace
-
-            cfg_hold = _dc_replace(
-                cfg, ba=_dc_replace(cfg.ba, refine_focal_length=False))
-            rec_h = _run_global_mapper_once(
-                tracks, height, width, cfg_hold, params, log)
-            s1 = _model_score(rec, height, width)
-            s2 = _model_score(rec_h, height, width)
-            log(f"[mapper] focal-retry scores: drifted {s1:.0f} vs "
-                f"held {s2:.0f}")
-            if s2 > 0.9 * s1:
-                rec = rec_h
-    #
+    # ---- staged self-diagnosing retry (round-4 sweep findings) -------------
+    # The trigger uses only internal evidence; the retry is a full re-run
+    # whose compiled shapes are already warm, so it costs solve time only on
+    # the scenes that need it. (A focal-drift retry lived here briefly and
+    # was replaced by the in-solve focal trust region: the internal score
+    # preferred the wrong-focal model — an overfit 2x focal explains MORE
+    # observations — so post-hoc model selection cannot arbitrate focal.)
     # (b) Solve-collapse retry: a valid-track fraction below 0.5 after the
     # full-set retriangulation marks a failed position init (LUD out of
     # basin on planar/low-parallax scenes). The glomap bearing solve is an
@@ -230,6 +204,12 @@ def _run_global_mapper_once(
         params = np.asarray(cameras.make_default_params(height, width), np.float32)
     num_images = tracks.num_frames
     focal = float(params[0])
+    # focal trust region for BA's joint refinement: only when the prior is a
+    # MEASUREMENT (flow self-calibration, 1-3% of truth on every sweep
+    # sequence) — the 1.2*max(h,w) heuristic can be 2.6x off and BA must
+    # stay free to leave it
+    focal_bounds = (None if default_prior
+                    else jnp.asarray([0.85 * focal, 1.15 * focal], jnp.float32))
 
     # ---- correspondences -------------------------------------------------
     # seg-geometry gate: when labels are present, defer their exclusions until
@@ -633,6 +613,7 @@ def _run_global_mapper_once(
             return _refine_and_finish(
                 tracks, cfg, params_g, height, width, num_images, sub, full2sub,
                 obs, obs_t, q_est, t_est, V, N, log, anchor=anchor,
+                focal_bounds=focal_bounds,
             )
         log("[mapper] glomap positioning rejected; falling back to LUD path")
 
@@ -745,12 +726,13 @@ def _run_global_mapper_once(
     return _refine_and_finish(
         tracks, cfg, params, height, width, num_images, sub, full2sub,
         obs, obs_t, q_est, t_est, V, N, log, anchor=anchor,
+        focal_bounds=focal_bounds,
     )
 
 
 def _refine_and_finish(
     tracks, cfg, params, height, width, num_images, sub, full2sub,
-    obs, obs_t, q_est, t_est, V, N, log, anchor=(0, 1),
+    obs, obs_t, q_est, t_est, V, N, log, anchor=(0, 1), focal_bounds=None,
 ):
     """Shared tail: triangulation + two-phase iterative refinement + packing."""
     import os
@@ -816,6 +798,7 @@ def _refine_and_finish(
                 function_tolerance=(
                     cfg.ba.function_tolerance_anneal if phase == 0
                     else cfg.ba.function_tolerance),
+                focal_bounds=focal_bounds,
             )
             q_cur, t_cur, X, jparams = state.q, state.t, state.X, state.params
             c = np.asarray(se3.camera_center(q_cur, t_cur))
@@ -923,6 +906,7 @@ def _refine_and_finish(
                 use_soft_l1=(cfg.ba.loss == "soft_l1"),
                 refine_focal=cfg.ba.refine_focal_length,
                 function_tolerance=cfg.ba.function_tolerance,
+                focal_bounds=focal_bounds,
             )
             q_cur, t_cur, X, jparams = state.q, state.t, state.X, state.params
             c = np.asarray(se3.camera_center(q_cur, t_cur))
