@@ -21,6 +21,7 @@ curve = {
             "devices": p["devices"],
             **{k: p[k] for k in ("flow_s", "seg_s", "ba_s")},
             **{f"{k[:-2]}_speedup": base[k] / p[k] for k in ("flow_s", "seg_s", "ba_s")},
+            **({"ba_counters": p["ba_counters"]} if "ba_counters" in p else {}),
         }
         for p in pts
     ],
