@@ -35,7 +35,12 @@ import numpy as np
 
 REFERENCE_FPS = 45.6 / (3.35 * 60.0)   # 0.2269 frames/s (README.md:22)
 ACC_DIR = Path(__file__).parent / "data" / "acc13"
-BENCH_SEQ = "seq_01_dyn"               # dynamic sequence: exercises seg too
+# Two DIFFERENT sequences: the tunnel result-caches identical dispatches, so a
+# same-inputs rerun understates real work by 5-10x (CLAUDE.md). Run 1 pays the
+# compiles on one sequence; run 2 times a FRESH sequence — every dispatch sees
+# new data, so its number is honest steady-state.
+BENCH_SEQ = ("seq_01_dyn", 1)          # dynamic sequence: exercises seg too
+BENCH_SEQ2 = ("seq_03_dyn", 3)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 _T_START = time.time()
 
@@ -81,19 +86,41 @@ def _read_stage_timings(tfile: Path) -> dict:
     return stages
 
 
-def ensure_sequence() -> tuple:
+def ensure_sequence(name: str, idx: int) -> tuple:
     """Return (image_dir, gt_cam_dir), rendering one protocol-scale sequence
     if the acceptance set is absent (fresh checkout)."""
-    img = ACC_DIR / "seqs" / BENCH_SEQ / "images"
-    gt = ACC_DIR / "gt" / BENCH_SEQ
+    img = ACC_DIR / "seqs" / name / "images"
+    gt = ACC_DIR / "gt" / name
     if img.is_dir() and len(list(img.glob("*.png"))) > 0:
         return img, gt
     import sys
     sys.path.insert(0, str(Path(__file__).parent / "scripts"))
     from make_acceptance_set import render_sequence
 
-    render_sequence((1, str(ACC_DIR), 48, 0))
+    render_sequence((idx, str(ACC_DIR), 48, 0))
     return img, gt
+
+
+def _latest_sweep() -> dict:
+    """Headline context: the committed 13-sequence sweep artifact (fresh-data
+    end-to-end numbers over the full protocol, ACCEPT_r*.json)."""
+    best = None
+    for p in sorted(Path(__file__).parent.glob("ACCEPT_r*_global.json")):
+        best = p
+    if best is None:
+        return {}
+    try:
+        d = json.loads(best.read_text())
+        return {
+            "sweep_artifact": best.name,
+            "sweep_end_to_end_fps": d.get("end_to_end_fps"),
+            "sweep_vs_baseline": round(
+                d.get("end_to_end_fps", 0.0) / REFERENCE_FPS, 3),
+            "sweep_num_seqs": d.get("num_seqs"),
+            "sweep_ate_mean": d.get("ate_mean"),
+        }
+    except Exception:
+        return {}
 
 
 def main():
@@ -110,8 +137,7 @@ def main():
     from particlesfm_tpu.pipeline.run import (build_arg_parser,
                                               config_from_args, run_pipeline)
 
-    img_dir, gt_dir = ensure_sequence()
-    nframes = len(list(img_dir.glob("*.png")))
+    img_dir, gt_dir = ensure_sequence(*BENCH_SEQ)
     # no --keep_intermediate: the pipeline's consumers read the device-resident
     # flow directly and run_pipeline would delete the .flo dirs at the end
     # anyway, so materializing them (~330 MB D2H through the tunnel) would be
@@ -121,18 +147,19 @@ def main():
     cfg = config_from_args(pargs)
     silent = lambda *a: None
 
-    def run_once(out):
+    def run_once(img_dir, out):
         if Path(out).exists():
             shutil.rmtree(out)
         t0 = time.time()
         run_pipeline(img_dir, out, cfg, log=silent)
         return time.time() - t0
 
-    def score(out, dt, compile_inclusive: bool) -> dict:
+    def score(name, img_dir, gt_dir, out, dt, compile_inclusive: bool) -> dict:
+        nframes = len(list(img_dir.glob("*.png")))
         stages = _read_stage_timings(Path(out) / "timings.txt")
         gt = {c.stem: read_sintel_cam(c)[1] for c in sorted(gt_dir.glob("*.cam"))}
         est = load_pose_dir(Path(out) / "colmap_outputs_converted/poses")
-        res = evaluate_sequence(est, gt, name=BENCH_SEQ)
+        res = evaluate_sequence(est, gt, name=name)
         sfm_s = stages.get("sfm", 0.0)
         sfm_fps = nframes / sfm_s if sfm_s else 0.0
         e2e_fps = nframes / dt
@@ -144,7 +171,9 @@ def main():
             "detail": {
                 "protocol": "1024x436 x %d frames, pixels-to-poses (dynamic seq)"
                             % nframes,
+                "sequence": name,
                 "compile_inclusive": compile_inclusive,
+                "fresh_inputs": not compile_inclusive,
                 "seconds_per_seq_end_to_end": round(dt, 2),
                 "sfm_stage_fps": round(sfm_fps, 4),
                 "sfm_stage_vs_reference_sfm_stage": round(
@@ -155,22 +184,31 @@ def main():
                 "rpe_trans": round(float(res.rpe_trans), 5) if not res.failed else None,
                 "rpe_rot_deg": round(float(res.rpe_rot_deg), 5) if not res.failed else None,
                 "reference_sfm_fps": round(REFERENCE_FPS, 4),
+                **_latest_sweep(),
                 "note": "vs_baseline compares OUR end-to-end rate to the "
                         "reference's published SfM-STAGE-ONLY rate "
                         "(README.md:22) — its end-to-end rate is strictly "
-                        "lower, so the true speedup exceeds vs_baseline",
+                        "lower, so the true speedup exceeds vs_baseline. "
+                        "Steady-state run times a DIFFERENT sequence than the "
+                        "warmup (fresh inputs defeat the tunnel result cache). "
+                        "sweep_* fields: full 13-sequence fresh-data artifact.",
             },
         }
 
-    # run 1: compile-inclusive (persistent cache makes reruns cheap)
-    dt1 = run_once("/tmp/bench_out")
-    _best["result"] = score("/tmp/bench_out", dt1, compile_inclusive=True)
+    # run 1: compile-inclusive warmup on BENCH_SEQ (persistent cache +
+    # same-process shape warmup make the second sequence steady-state)
+    dt1 = run_once(img_dir, "/tmp/bench_out")
+    _best["result"] = score(BENCH_SEQ[0], img_dir, gt_dir, "/tmp/bench_out",
+                            dt1, compile_inclusive=True)
 
-    # run 2 only if it fits comfortably in the remaining budget
+    # run 2 only if it fits comfortably in the remaining budget: a DIFFERENT
+    # sequence, so every stage processes fresh data (honest steady-state)
     remaining = BUDGET_S - (time.time() - _T_START)
     if remaining > 1.25 * dt1 + 60:
-        dt2 = run_once("/tmp/bench_out")
-        _best["result"] = score("/tmp/bench_out", dt2, compile_inclusive=False)
+        img_dir2, gt_dir2 = ensure_sequence(*BENCH_SEQ2)
+        dt2 = run_once(img_dir2, "/tmp/bench_out2")
+        _best["result"] = score(BENCH_SEQ2[0], img_dir2, gt_dir2,
+                                "/tmp/bench_out2", dt2, compile_inclusive=False)
 
     signal.alarm(0)
     _emit(_best["result"])

@@ -187,8 +187,7 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
         with jax.default_matmul_precision("default"):
             return model.apply({"params": params}, img1, img2, iters=n_iters)
 
-    @jax.jit
-    def run_block(params, stack, ia, ib):
+    def _block_body(params, stack, ia, ib):
         raw1 = stack[ia].astype(jnp.float32)
         raw2 = stack[ib].astype(jnp.float32)
         B, H, W, _ = raw1.shape
@@ -220,7 +219,30 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
             )
         return fl
 
+    run_block = jax.jit(_block_body)
+
+    @jax.jit
+    def run_chunks(params, stack, ia2, ib2):
+        """Many blocks in ONE dispatch: lax.scan over [C, block] index chunks.
+        Each scan step is bit-identical to a standalone run_block call (same
+        per-block batch, so the per_device=8 bf16 numerics bisected in round 4
+        are unchanged); the win is C-1 fewer tunnel dispatches — the round-4
+        flow stage spent most of its 36 s/seq on per-dispatch latency of 23
+        sequential block dispatches, not on compute (net fwd = 1.77 ms/pair)."""
+        def step(_, ab):
+            a, b = ab
+            return None, _block_body(params, stack, a, b)
+
+        _, fl = jax.lax.scan(step, None, (ia2, ib2))
+        return fl                                  # [C, block, H, W, 2]
+
     idx_sharding = data_sharding(mesh, 1)
+    chunk_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))
+    # bound the per-dispatch footprint: each scan step's flow output is
+    # [block, H, W, 2] f32 stacked over C — 48 blocks ≈ 1.4 GB at protocol
+    # shape, comfortably inside one chip's HBM
+    MAX_CHUNKS = 48
 
     def apply(stack, ia, ib):
         stack = jax.device_put(jnp.asarray(stack))      # replicated, once
@@ -228,16 +250,35 @@ def load_flow_apply_pairs(ckpt, iters=None, mesh=None, per_device: int = 8,
         ib = np.asarray(ib, np.int32)
         N = len(ia)
         out = []
-        for k in range(0, N, block):
-            a, b = ia[k:k + block], ib[k:k + block]
-            pad = block - len(a)
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad)])
-                b = np.concatenate([b, np.repeat(b[-1:], pad)])
-            da = jax.device_put(jnp.asarray(a), idx_sharding)
-            db = jax.device_put(jnp.asarray(b), idx_sharding)
-            fl = run_block(params, stack, da, db)
-            out.append(fl[: N - k] if pad else fl)
+        k = 0
+        while k < N:
+            n_here = min(N - k, MAX_CHUNKS * block)
+            nch = -(-n_here // block)
+            if nch > 1:
+                a = ia[k:k + n_here]
+                b = ib[k:k + n_here]
+                pad = nch * block - n_here
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad)])
+                    b = np.concatenate([b, np.repeat(b[-1:], pad)])
+                da = jax.device_put(
+                    jnp.asarray(a.reshape(nch, block)), chunk_sharding)
+                db = jax.device_put(
+                    jnp.asarray(b.reshape(nch, block)), chunk_sharding)
+                fl = run_chunks(params, stack, da, db)
+                fl = fl.reshape(nch * block, *fl.shape[2:])
+                out.append(fl[:n_here] if pad else fl)
+            else:
+                a, b = ia[k:k + block], ib[k:k + block]
+                pad = block - len(a)
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad)])
+                    b = np.concatenate([b, np.repeat(b[-1:], pad)])
+                da = jax.device_put(jnp.asarray(a), idx_sharding)
+                db = jax.device_put(jnp.asarray(b), idx_sharding)
+                fl = run_block(params, stack, da, db)
+                out.append(fl[: n_here] if pad else fl)
+            k += n_here
         return jnp.concatenate(out, 0) if len(out) > 1 else out[0]
 
     apply.refines = refine_schedule is not None

@@ -137,16 +137,21 @@ def _inv3(M):
 def default_free_masks(num_views: int, refine_rotation: bool = True,
                        anchor=(0, 1)):
     """Gauge fixing per global_mapper.cc:430-435: pin one view's full pose and
-    a second view's tvec x-component; optionally freeze all rotations (first
-    BA phase). `anchor` selects WHICH views are pinned: the reference pins
-    views (0, 1), but pinning locks their initial estimates in — when
+    one component of a second view's tvec; optionally freeze all rotations
+    (first BA phase). `anchor` selects WHICH views are pinned: the reference
+    pins views (0, 1), but pinning locks their initial estimates in — when
     rotation averaging mis-estimates exactly those views, BA can never
     recover them (round-4 seq_12 failure: anchors 155 deg off, everything
-    else correct). The mapper passes its two highest-support views instead."""
+    else correct). The mapper passes its two highest-support views instead.
+    An optional third anchor entry selects WHICH tvec component of a1 is
+    pinned (default x): pinning a near-zero component leaves the scale gauge
+    near-singular — the mapper passes the dominant component of a1's initial
+    tvec."""
     a0, a1 = int(anchor[0]), int(anchor[1])
+    comp = int(anchor[2]) if len(anchor) > 2 else 0
     free = jnp.ones((num_views, 6), jnp.float32)
     free = free.at[a0].set(0.0)
-    free = free.at[a1, 3].set(0.0)
+    free = free.at[a1, 3 + comp].set(0.0)
     if not refine_rotation:
         free = free.at[:, :3].set(0.0)
     return free
@@ -373,6 +378,20 @@ def _bundle_adjust_impl(
             )
             df = df * f_free
 
+        if refine_focal and focal_bounds is not None:
+            # focal trust region: the flow self-calibration prior measures f
+            # to 1-3% (DESIGN round-4); letting the joint solve walk 2x away
+            # from it only ever happened on structured-bias data and always
+            # made the metric geometry worse. Clamp the STEP so the solve
+            # fine-tunes within the bounds but cannot run away. Clamp BEFORE
+            # the point back-substitution so the candidate step stays
+            # internally consistent, and only when focal is actually refined —
+            # with refine_focal=False df is identically 0 and clamping would
+            # manufacture a focal step from an out-of-bounds incoming prior
+            # (e.g. the glomap path's jointly-estimated focal).
+            df = jnp.clip(params[0] + df, focal_bounds[0],
+                          focal_bounds[1]) - params[0]
+
         # back-substitute points: dp = Hpp^-1 (-gp - Wcp^T dc - Wfp df)
         dcg = dc[fidx]                                     # [N, K, 6]
         wtdc = jnp.einsum("nkij,nki->nj", Wcp, dcg)
@@ -383,14 +402,6 @@ def _bundle_adjust_impl(
         q_new = rot.quat_normalize(rot.quat_multiply(dq, q))
         t_new = t + dc[:, 3:]
         X_new = X + dp
-        if focal_bounds is not None:
-            # focal trust region: the flow self-calibration prior measures f
-            # to 1-3% (DESIGN round-4); letting the joint solve walk 2x away
-            # from it only ever happened on structured-bias data and always
-            # made the metric geometry worse. Clamp the STEP so the solve
-            # fine-tunes within the bounds but cannot run away.
-            df = jnp.clip(params[0] + df, focal_bounds[0],
-                          focal_bounds[1]) - params[0]
         params_new = params.at[0].add(df).at[1].add(df)
         _, cost1 = _robust_weights(
             q_new, t_new, params_new, X_new, obs, loss_scale, use_soft_l1, pm

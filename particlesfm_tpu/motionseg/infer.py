@@ -116,17 +116,29 @@ def segment_tracks(
     # multi-thousand-track sample. Chunks are padded to one shape (one compile).
     _t1 = _time.perf_counter()
     chunk = max(1024, max_cells // max(B, 1))
+    scan_chunks = getattr(apply_fn, "scan_chunks", None)
+    n_mesh_dev = (1 if mesh is None else
+                  int(np.prod([mesh.shape[a] for a in mesh.axis_names])))
     if kmax > chunk:
         nch = -(-kmax // chunk)
         pad_k = nch * chunk - kmax
         traj = np.pad(traj, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
         valid = np.pad(valid, ((0, 0), (0, pad_k), (0, 0)))
-        parts = []
-        for c in range(nch):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            parts.append(_run_windows(apply_fn, traj[:, sl], depth, valid[:, sl],
-                                      mesh))
-        logits = np.concatenate(parts, axis=1)[:, :kmax]
+        if scan_chunks is not None and n_mesh_dev == 1:
+            # single device: all chunks in one dispatch (scan over the chunk
+            # axis inside the jit) — saves nch-1 tunnel round-trips
+            traj_c = traj.reshape(B, nch, chunk, L, 2).transpose(1, 0, 2, 3, 4)
+            valid_c = valid.reshape(B, nch, chunk, L).transpose(1, 0, 2, 3)
+            logits = np.asarray(scan_chunks(
+                jnp.asarray(traj_c), jnp.asarray(depth), jnp.asarray(valid_c)))
+            logits = logits.transpose(1, 0, 2).reshape(B, nch * chunk)[:, :kmax]
+        else:
+            parts = []
+            for c in range(nch):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                parts.append(_run_windows(apply_fn, traj[:, sl], depth,
+                                          valid[:, sl], mesh))
+            logits = np.concatenate(parts, axis=1)[:, :kmax]
     else:
         logits = _run_windows(apply_fn, traj, depth, valid, mesh)
     dyn_all = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))) > threshold  # [B, kmax]

@@ -94,9 +94,19 @@ DEFAULT_DEPTH_CKPT = _CKPT_DIR / "depth_synth.msgpack"
 # Loader memo across run_pipeline calls: a multi-sequence sweep (--root_dir,
 # acceptance benchmark) re-enters run_pipeline per sequence; rebuilding the
 # jitted apply fns would retrace + re-look-up every executable through the
-# tunnel each time. Keyed on checkpoint path + the config fields that change
-# the compiled program.
+# tunnel each time. Keyed on checkpoint path + mtime (a long-lived process
+# that retrains/overwrites a checkpoint must not keep serving stale weights)
+# + the config fields that change the compiled program.
 _APPLY_CACHE: dict = {}
+
+
+def _ckpt_key(ckpt) -> tuple:
+    import os
+
+    try:
+        return (str(ckpt), os.path.getmtime(ckpt))
+    except OSError:
+        return (str(ckpt), None)
 
 
 def _memo(key, build):
@@ -125,7 +135,7 @@ def _load_raft_apply(cfg: Config):
         tuple(tuple(p) for p in cfg.flow.refine_schedule)
         if cfg.flow.photometric_refine else None
     )
-    key = ("raft", ckpt, cfg.flow.iters, cfg.flow.per_device,
+    key = ("raft", _ckpt_key(ckpt), cfg.flow.iters, cfg.flow.per_device,
            cfg.flow.infer_scale, schedule, cfg.flow.refine_max_total_px)
     return _memo(key, lambda: load_flow_apply_pairs(
         ckpt, iters=cfg.flow.iters, per_device=cfg.flow.per_device,
@@ -143,7 +153,7 @@ def _load_depth_apply(cfg: Config):
         ckpt = str(DEFAULT_DEPTH_CKPT)
     if ckpt is None:
         return None
-    key = ("depth", ckpt, cfg.depth.base)
+    key = ("depth", _ckpt_key(ckpt), cfg.depth.base)
     if key in _APPLY_CACHE:
         return _APPLY_CACHE[key]
     import jax
@@ -228,7 +238,7 @@ def _load_seg_apply(cfg: Config):
         ckpt = str(DEFAULT_SEG_CKPT)
     if ckpt is None:
         return None
-    key = ("seg", ckpt, tuple(cfg.motionseg.resolution))
+    key = ("seg", _ckpt_key(ckpt), tuple(cfg.motionseg.resolution))
     if key in _APPLY_CACHE:
         return _APPLY_CACHE[key]
     import jax
@@ -249,8 +259,7 @@ def _load_seg_apply(cfg: Config):
 
     variables = jax.device_put(variables)   # argument, not a baked-in closure
 
-    @jax.jit
-    def _apply(variables, traj, depth, valid):
+    def _apply_body(variables, traj, depth, valid):
         if traj.dtype == jnp.uint16:
             # u16 fixed-point upload (motionseg/infer.py): halves the H2D
             # bytes through the ~4 MB/s tunnel; 1/65535 of the frame is
@@ -265,10 +274,29 @@ def _load_seg_apply(cfg: Config):
         with jax.default_matmul_precision("default"):
             return model.apply(variables, traj, depth_r, valid, train=False)
 
+    _apply = jax.jit(_apply_body)
+
+    @jax.jit
+    def _apply_chunks(variables, traj, depth, valid):
+        """All track chunks in ONE dispatch: lax.scan over the chunk axis
+        (traj [C, B, k, L, 2], valid [C, B, k, L]). Each step is bit-identical
+        to a standalone per-chunk call; the win is C-1 fewer tunnel dispatches
+        (the round-4 seg stage paid ~8 sequential chunk dispatches/seq)."""
+        def step(_, tv):
+            t, v = tv
+            return None, _apply_body(variables, t, depth, v)
+
+        _, out = jax.lax.scan(step, None, (traj, valid))
+        return out                                  # [C, B, k]
+
     def apply(traj, depth, valid):
         return _apply(variables, traj, depth, valid)
 
+    def apply_chunks(traj, depth, valid):
+        return _apply_chunks(variables, traj, depth, valid)
+
     apply.accepts_u16 = True    # motionseg/infer.py packs coords as u16
+    apply.scan_chunks = apply_chunks
     _APPLY_CACHE[key] = apply
     return apply
 
@@ -287,16 +315,20 @@ def run_pipeline(image_dir, output_dir, cfg: Config, log=print):
 
     # one shared frame-stack upload for the flow + depth nets (~15 s of H2D
     # through the tunnel per 48-frame sequence; uploading twice was measured
-    # as a third of the depth stage)
+    # as a third of the depth stage). LAZY: skip-exists re-runs whose flow and
+    # depth stages both short-circuit must not pay the upload at all, so the
+    # stages receive a memoizing thunk and call it only on a cache miss.
     raft_apply = _load_raft_apply(cfg)
-    needs_device_stack = raft_apply is not None or not cfg.assume_static
-    device_stack = None
-    if needs_device_stack:
-        with timer.stage("frame_upload"):
-            device_stack = stages.upload_frame_stack(images)
-            import jax as _jax
+    _stack_box = [None]
 
-            _jax.block_until_ready(device_stack)
+    def device_stack():
+        if _stack_box[0] is None:
+            with timer.stage("frame_upload"):
+                _stack_box[0] = stages.upload_frame_stack(images)
+                import jax as _jax
+
+                _jax.block_until_ready(_stack_box[0])
+        return _stack_box[0]
 
     # stage 1+2: flow -> trajectories
     with timer.stage("flow"):

@@ -57,8 +57,11 @@ def _write_flow_selfcal(result, height, width, out_dir: Path, cfg, log):
         f"n {info['num_pairs']})")
 
 
-def read_flow_selfcal(out_dir: Path, cfg) -> Optional[float]:
-    """Focal from the flow stage's selfcal.json, if present and trustworthy."""
+def read_flow_selfcal(out_dir: Path, cfg) -> Optional[tuple]:
+    """Focal from the flow stage's selfcal.json, if present and trustworthy.
+
+    Returns (focal, bound_frac) — bound_frac is the BA focal trust-region
+    half-width the estimate's quality earns — or None when untrustworthy."""
     p = Path(out_dir) / "selfcal.json"
     if not getattr(cfg.sfm, "selfcal_focal", True) or not p.exists():
         return None
@@ -75,7 +78,23 @@ def read_flow_selfcal(out_dir: Path, cfg) -> Optional[float]:
         and info.get("dip", 1.0) <= cfg.sfm.selfcal_max_dip
         and info.get("confidence", 0.0) >= cfg.sfm.selfcal_min_conf
     )
-    return float(info["focal"]) if ok else None
+    if ok:
+        return float(info["focal"]), 0.15
+    # marginal tier (round-5): a shallow-dip estimate with decent per-pair
+    # agreement is still far better than the 1.2*max(h,w) heuristic — all 13
+    # acceptance selfcals landed within 5.5% of GT focal, including the one
+    # the dip gate rejected (round-4 seq_05: dip 0.57, focal -1.0% of GT,
+    # heuristic prior +11% -> ATE 0.18). Accept it as the prior but hand BA a
+    # WIDER trust region so a genuinely bad marginal estimate can be escaped.
+    marginal = (
+        info.get("interior", True)
+        and info.get("num_pairs", 0) >= cfg.sfm.selfcal_min_pairs
+        and info.get("dip", 1.0) <= 0.8
+        and info.get("confidence", 0.0) >= 0.5
+    )
+    if marginal:
+        return float(info["focal"]), 0.30
+    return None
 
 
 def upload_frame_stack(images: np.ndarray):
@@ -145,6 +164,8 @@ def flow_stage(
     # images costs more than the net), pairs are indexed on device, and flow
     # stays on device through refinement/selfcal; the .flo copies come back
     # as one async f16 D2H per direction.
+    if callable(device_stack):   # lazy memoizing thunk from run_pipeline
+        device_stack = device_stack()
     stack_u8 = (device_stack if device_stack is not None
                 else upload_frame_stack(images))
     # ONE batched stream over every direction: the pair-indexed apply
@@ -178,6 +199,14 @@ def flow_stage(
     # would otherwise inherit. External (reused) flow is respected as-is.
     # When the apply fn already fuses the refinement into its per-block jit
     # (load_flow_apply_pairs refine_schedule), this standalone pass is skipped.
+    if cfg.flow.photometric_refine:
+        # mixed reuse/compute runs: reused directions are external data and
+        # are respected as-is — say so instead of implying uniform treatment
+        reused = [n for n in result if n not in computed]
+        if reused:
+            log(f"[flow] NOTE: flow reused from disk ({', '.join(reused)}) "
+                "bypasses photometric refinement (external flow respected "
+                "as-is)")
     if cfg.flow.photometric_refine and getattr(raft_apply, "refines", False):
         log(f"[flow] photometric refinement fused into inference "
             f"(schedule {cfg.flow.refine_schedule})")
@@ -346,6 +375,8 @@ def depth_stage(
         raise RuntimeError(
             f"depth stage: no precomputed depth at {d} and no depth weights provided"
         )
+    if callable(device_stack):   # lazy memoizing thunk from run_pipeline
+        device_stack = device_stack()
     deps = np.asarray(depth_apply(
         images if device_stack is None else device_stack
     ))   # batched + normalized on device
@@ -410,14 +441,16 @@ def sfm_stage(
     # focal prior: flow-stage self-calibration beats both the heuristic prior
     # and track-level estimation (see _write_flow_selfcal)
     params = None
-    f_cal = read_flow_selfcal(out_dir, cfg)
-    if f_cal is not None:
+    bound_frac = None
+    cal = read_flow_selfcal(out_dir, cfg)
+    if cal is not None:
         from ..geometry import cameras as _cams
 
+        f_cal, bound_frac = cal
         params = np.asarray(
             _cams.make_default_params(height, width), np.float32).copy()
         log(f"[sfm] focal prior from flow self-calibration: {f_cal:.1f} "
-            f"(heuristic {params[0]:.1f})")
+            f"(heuristic {params[0]:.1f}, BA trust region +-{bound_frac:.0%})")
         params[0] = params[1] = f_cal
     # sfm_type dispatch (run_particlesfm.py:73-97): global (gmapper/Theia
     # parity, default), incremental (colmap-mapper parity), glomap (direct
@@ -433,7 +466,7 @@ def sfm_stage(
 
         models = run_reconstruction_manager(
             tracks, height, width, cfg.sfm, max_models=cfg.sfm.max_models,
-            params=params, log=log
+            params=params, log=log, focal_bound_frac=bound_frac
         )
         rec = write_models(models, model_dir, image_names, log=log)
         if rec is None:
@@ -449,7 +482,8 @@ def sfm_stage(
     else:
         from ..sfm.mapper import run_global_mapper as _run
 
-        rec = _run(tracks, height, width, cfg.sfm, params=params, log=log)
+        rec = _run(tracks, height, width, cfg.sfm, params=params, log=log,
+                   focal_bound_frac=bound_frac)
         write_colmap_model(rec, model_dir, image_names)
     write_converted_outputs(rec, Path(out_dir) / "colmap_outputs_converted", image_names)
     stats = compute_model_stats(rec)

@@ -215,6 +215,52 @@ def track_inlier_stats(
     return good, total
 
 
+U16_SCALE = 32.0   # u16 fixed-point pixel coords: 1/32 px step, 2048 px range
+
+
+def upload_tracks_u16(xy: np.ndarray, mask: np.ndarray):
+    """Upload the FULL track tensor once as u16 fixed-point, bucket-padded.
+
+    The tunnel moves H2D at ~10 MB/s and the mapper used to upload the track
+    coordinates twice per run as f32 (dense epipolar votes ~100 MB + the
+    observation tensors ~75 MB at protocol scale). One u16 upload (half the
+    bytes, 1/32 px quantization — an order of magnitude under the flow net's
+    EPE) now feeds both consumers. Returns (xy_u16_dev [Np, T, 2],
+    mask_dev [Np, T]) with the track axis padded to a 32768 multiple (the
+    shape-bucketing scheme every mapper device kernel uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = xy.shape[0]
+    n_pad = -(-N // 32768) * 32768 - N
+    if n_pad:
+        xy = np.pad(xy, ((0, n_pad), (0, 0), (0, 0)))
+        mask = np.pad(mask, ((0, n_pad), (0, 0)))
+    xy_u16 = np.clip(np.round(xy * U16_SCALE), 0, 65535).astype(np.uint16)
+    return (jax.device_put(jnp.asarray(xy_u16)),
+            jax.device_put(jnp.asarray(mask)))
+
+
+def _unpack_xyn(xy_u16, pp, focal):
+    """Device-side u16 -> normalized f32 coords (shared jit)."""
+    global _UNPACK_JIT
+    if _UNPACK_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def impl(xy_u16, pp, focal):
+            return (xy_u16.astype(jnp.float32) * (1.0 / U16_SCALE) - pp) / focal
+
+        _UNPACK_JIT = jax.jit(impl)
+    import jax.numpy as jnp
+
+    return _UNPACK_JIT(xy_u16, jnp.asarray(pp, jnp.float32),
+                       jnp.float32(focal))
+
+
+_UNPACK_JIT = None
+
+
 def full_epipolar_votes(
     xy: np.ndarray,          # [N, T, 2] pixel coords (all tracks)
     mask: np.ndarray,        # [N, T] bool observation mask
@@ -224,6 +270,7 @@ def full_epipolar_votes(
     pp: np.ndarray,          # [2] principal point
     thres_sq: np.ndarray,    # [E] squared Sampson threshold (normalized)
     chunk: int = 64,
+    dev=None,                # optional (xy_u16_dev, mask_dev) from upload_tracks_u16
 ):
     """Per-track epipolar inlier votes over ALL verified pairs, on device.
 
@@ -246,12 +293,16 @@ def full_epipolar_votes(
     # N and the chunk kernel would otherwise recompile per sequence (same
     # round-4 finding as the mapper's triangulation tail).
     n_pad = -(-N // 32768) * 32768 - N
-    if n_pad:
-        xy = np.pad(xy, ((0, n_pad), (0, 0), (0, 0)))
-        mask = np.pad(mask, ((0, n_pad), (0, 0)))
-    xyn = jax.device_put(
-        (jnp.asarray(xy) - jnp.asarray(pp, jnp.float32)) / float(focal))
-    jmask = jax.device_put(jnp.asarray(mask))
+    if dev is not None:
+        xy_u16_dev, jmask = dev
+        xyn = _unpack_xyn(xy_u16_dev, pp, focal)
+    else:
+        if n_pad:
+            xy = np.pad(xy, ((0, n_pad), (0, 0), (0, 0)))
+            mask = np.pad(mask, ((0, n_pad), (0, 0)))
+        xyn = jax.device_put(
+            (jnp.asarray(xy) - jnp.asarray(pp, jnp.float32)) / float(focal))
+        jmask = jax.device_put(jnp.asarray(mask))
 
     good = np.zeros(N + n_pad, np.int64)
     total = np.zeros(N + n_pad, np.int64)
@@ -272,6 +323,38 @@ def full_epipolar_votes(
         good += np.asarray(g, np.int64)
         total += np.asarray(t, np.int64)
     return good[:N], total[:N]
+
+
+_BUILD_OBS_JIT = None
+
+
+def build_obs_device(xy_u16_dev, rows, orig_fi, sub_fi, omask):
+    """Device-side observation-tensor build from the shared u16 track upload.
+
+    Replaces the ~75 MB f32 obs.uv H2D with a gather from the already-uploaded
+    track tensor: rows [N] int32 (track row per obs-row), orig_fi [N, K] int32
+    (ORIGINAL frame index per slot — indexes the track tensor's time axis),
+    sub_fi [N, K] int32 (registered-subset frame index — what the solvers
+    see), omask [N, K] bool. Returns a TrackObs with f32 pixel uv on device."""
+    global _BUILD_OBS_JIT
+    import jax
+    import jax.numpy as jnp
+
+    from ..globalsfm.tracks3d import TrackObs
+
+    if _BUILD_OBS_JIT is None:
+        def impl(xy_u16, rows, orig_fi, sub_fi, omask):
+            uv = xy_u16[rows[:, None], orig_fi].astype(jnp.float32) * (
+                1.0 / U16_SCALE)
+            uv = uv * omask[..., None]
+            return uv, sub_fi, omask
+
+        _BUILD_OBS_JIT = jax.jit(impl)
+    uv, fi, m = _BUILD_OBS_JIT(
+        xy_u16_dev, jnp.asarray(rows, jnp.int32),
+        jnp.asarray(orig_fi, jnp.int32), jnp.asarray(sub_fi, jnp.int32),
+        jnp.asarray(omask))
+    return TrackObs(fi, uv, m)
 
 
 def _votes_chunk_impl(xyn, jmask, pij, E, thr, pvalid):

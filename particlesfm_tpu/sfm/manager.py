@@ -31,6 +31,7 @@ def run_reconstruction_manager(
     max_models: int = 4,
     params=None,
     log=print,
+    focal_bound_frac=None,
 ) -> List[Reconstruction]:
     """Recover every reconstructable component, largest-first order not
     guaranteed (use `largest_model` to select)."""
@@ -46,7 +47,8 @@ def run_reconstruction_manager(
         frames_alive = (mask.sum(axis=0) >= cfg.min_num_matches).sum()
         if frames_alive < 3:
             break
-        rec = run_global_mapper(sub, height, width, cfg, params=params, log=log)
+        rec = run_global_mapper(sub, height, width, cfg, params=params, log=log,
+                                focal_bound_frac=focal_bound_frac)
         if rec.num_registered < 3:
             break
         models.append(rec)

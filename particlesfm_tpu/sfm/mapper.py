@@ -97,6 +97,7 @@ def run_global_mapper(
     cfg: Optional[SfmConfig] = None,
     params: Optional[np.ndarray] = None,
     log=print,
+    focal_bound_frac: Optional[float] = None,
 ) -> Reconstruction:
     """Global mapper with dominant-object disambiguation.
 
@@ -109,7 +110,10 @@ def run_global_mapper(
     (it relies on its trained segmentation alone).
     """
     cfg = cfg or SfmConfig()
-    rec = _run_global_mapper_once(tracks, height, width, cfg, params, log)
+    fe_cache: dict = {}
+    rec = _run_global_mapper_once(tracks, height, width, cfg, params, log,
+                                  fe_out=fe_cache,
+                                  focal_bound_frac=focal_bound_frac)
 
     # ---- staged self-diagnosing retry (round-4 sweep findings) -------------
     # The trigger uses only internal evidence; the retry is a full re-run
@@ -132,8 +136,17 @@ def run_global_mapper(
             from dataclasses import replace as _dc_replace
 
             cfg_g = _dc_replace(cfg, sfm_type="glomap")
-            rec_g = _run_global_mapper_once(
-                tracks, height, width, cfg_g, params, log)
+            if fe_cache:
+                # front end (correspondences, RANSAC, selfcal, rotation
+                # averaging) is identical for both positioning paths — reuse
+                # the first run's products instead of recomputing them
+                # (round-4 retry storms: each retry re-paid the full front end)
+                rec_g = _position_and_refine(
+                    tracks, height, width, cfg_g, fe_cache, log)
+            else:
+                rec_g = _run_global_mapper_once(
+                    tracks, height, width, cfg_g, params, log,
+                    focal_bound_frac=focal_bound_frac)
             s1 = _model_score(rec, height, width)
             s2 = _model_score(rec_g, height, width)
             log(f"[mapper] glomap-retry scores: lud {s1:.0f} vs "
@@ -155,7 +168,8 @@ def run_global_mapper(
         for r in used_rows:
             comp_mask[r] = False
         comp = TrackArrays(xy=tracks.xy, mask=comp_mask, labels=tracks.labels)
-        rec2 = _run_global_mapper_once(comp, height, width, cfg, params, log)
+        rec2 = _run_global_mapper_once(comp, height, width, cfg, params, log,
+                                       focal_bound_frac=focal_bound_frac)
         s1 = _model_score(rec, height, width)
         s2 = _model_score(rec2, height, width)
         log(f"[mapper] model scores (kept-obs x image coverage): "
@@ -198,6 +212,8 @@ def _run_global_mapper_once(
     cfg: SfmConfig,
     params: Optional[np.ndarray] = None,
     log=print,
+    fe_out: Optional[dict] = None,
+    focal_bound_frac: Optional[float] = None,
 ) -> Reconstruction:
     default_prior = params is None
     if params is None:
@@ -208,8 +224,10 @@ def _run_global_mapper_once(
     # MEASUREMENT (flow self-calibration, 1-3% of truth on every sweep
     # sequence) — the 1.2*max(h,w) heuristic can be 2.6x off and BA must
     # stay free to leave it
+    bf = 0.15 if focal_bound_frac is None else float(focal_bound_frac)
     focal_bounds = (None if default_prior
-                    else jnp.asarray([0.85 * focal, 1.15 * focal], jnp.float32))
+                    else jnp.asarray([(1 - bf) * focal, (1 + bf) * focal],
+                                     jnp.float32))
 
     # ---- correspondences -------------------------------------------------
     # seg-geometry gate: when labels are present, defer their exclusions until
@@ -231,6 +249,12 @@ def _run_global_mapper_once(
         log("[mapper] too few covisible pairs; reconstruction failed")
         return _failed(num_images, params, height, width)
     log(f"[mapper] {len(pair_t.pairs)} covisible pairs")
+
+    # one shared u16 upload of the full track tensor: feeds the dense epipolar
+    # votes AND the device observation build (upload_tracks_u16 docstring)
+    from .correspondences import build_obs_device, upload_tracks_u16
+
+    dev_tracks = upload_tracks_u16(tracks.xy, tracks.mask)
 
 
     # ---- two-view geometry (batched RANSAC) ------------------------------
@@ -277,7 +301,8 @@ def _run_global_mapper_once(
         E_ver = np.asarray(_epi.essential_from_pose(tv.q_rel, tv.t_rel))
         good_v, total_v = full_epipolar_votes(
             tracks.xy, tracks.mask, pair_t.pairs[verified], E_ver[verified],
-            focal, params[2:4], thres_sq[verified])
+            focal, params[2:4], thres_sq[verified], dev=dev_tracks,
+            chunk=192)
         rate = good_v / np.maximum(total_v, 1)
 
         # seg-label integration (per-observation, matches_from_flow.py:76-79
@@ -469,13 +494,57 @@ def _run_global_mapper_once(
         return _failed(num_images, params, height, width)
 
     # ---- rotation averaging ---------------------------------------------
+    # EDGE-axis bucketing (round-5): the pair count after filtering varies
+    # per sequence, and every solver in the translation/rotation stack is a
+    # jit that specializes on it — a sweep re-paid ~10-20 s of tunnel compile
+    # per sequence across these calls (the round-4 "MFAS 14 s" was mostly
+    # this). The solvers were designed for padded edges (edge_mask/weight 0);
+    # pad every edge list to a 256-multiple so a handful of shapes ever
+    # compile.
     R_init = orientations_from_spanning_tree(V, spairs, counts, R_rel)
+
+    # ---- pre-averaging loop-consistency gate (round-5) ---------------------
+    # Measured on the acceptance set: pairs more than ~8-16 frames apart carry
+    # JUNK two-view geometry (median rotation error 8-17 deg, translation
+    # directions 60-80 deg off GT) on every sequence — long-surviving tracks
+    # are few and concentrated, and an overfit essential still clears the
+    # inlier gates. They are ~half the covisibility graph; on low-motion
+    # scenes IRLS out-votes them (errors ~random), on high-motion scenes the
+    # junk is correlated and drags the whole rotation field into a smooth bow
+    # (round-4 seq_00/05/11, ATE 0.18-0.37 with per-frame rotations bowing
+    # 0->14 deg). Gate each pair against the MST-chain init (built from
+    # high-count short-baseline edges, accurate to ~0.1 deg/step): a pair
+    # whose relative rotation disagrees with the chain by > the threshold is
+    # dropped BEFORE it can bias the average. The existing post-averaging
+    # filter then handles what the loose threshold admits.
+    if cfg.pre_orientation_filter_deg > 0:
+        Rc = R_init[spairs[:, 1]] @ np.swapaxes(R_init[spairs[:, 0]], 1, 2)
+        tr = np.einsum("eij,eij->e", R_rel, Rc)
+        ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        keep = ang <= cfg.pre_orientation_filter_deg
+        if (keep.sum() >= max(3, int(0.3 * len(spairs)))
+                and largest_connected_component(V, spairs[keep]).all()):
+            log(f"[mapper] chain-consistency gate kept {keep.sum()}/"
+                f"{len(keep)} pairs (median disagreement {np.median(ang):.1f} deg)")
+            spairs, counts, R_rel, t_rel = (spairs[keep], counts[keep],
+                                            R_rel[keep], t_rel[keep])
+            inl_mask, uv1, uv2, has_b = (inl_mask[keep], uv1[keep],
+                                         uv2[keep], has_b[keep])
+        else:
+            log(f"[mapper] chain-consistency gate would disconnect the graph "
+                f"({keep.sum()}/{len(keep)} kept); skipped")
+
+    Er = len(spairs)
+    e_pad = (-Er) % 256
     R_abs, rot_info = average_rotations(
         V,
-        jnp.asarray(spairs),
-        jnp.asarray(R_rel, jnp.float32),
+        jnp.asarray(np.pad(spairs, ((0, e_pad), (0, 0)))),
+        jnp.asarray(np.concatenate(
+            [R_rel, np.tile(np.eye(3, dtype=np.float32), (e_pad, 1, 1))])
+            if e_pad else R_rel, jnp.float32),
         jnp.asarray(R_init, jnp.float32),
-        jnp.ones(len(spairs), jnp.float32),
+        jnp.asarray(np.concatenate(
+            [np.ones(Er, np.float32), np.zeros(e_pad, np.float32)])),
         l1_iters=cfg.rotation.max_num_l1_iterations,
         irls_iters=cfg.rotation.max_num_irls_iterations,
         sigma_deg=cfg.rotation.irls_loss_parameter_sigma_deg,
@@ -507,6 +576,34 @@ def _run_global_mapper_once(
         log(f"[mapper] post-orientation component: {V} images")
         if V < 3:
             return _failed(num_images, params, height, width)
+
+    # ---- re-average rotations on the filtered graph (round-5) --------------
+    # When the orientation filter removed a material fraction of pairs, the
+    # absolute rotations were estimated WITH those outliers in the system
+    # (round-4 seq_11: IRLS hit its iteration cap at 5.2 deg mean residual,
+    # the filter then dropped 302/1128 pairs, and the contaminated rotations
+    # were carried into a self-consistent but warped reconstruction —
+    # RPE-rot 2.0 deg, ATE 0.22). One warm re-solve on the cleaned graph,
+    # initialized from the current estimate, costs <1 s.
+    if len(spairs) < 0.98 * Er and len(spairs) >= 3:
+        Er2 = len(spairs)
+        e_pad2 = (-Er2) % 256
+        R_abs, rot_info2 = average_rotations(
+            V,
+            jnp.asarray(np.pad(spairs, ((0, e_pad2), (0, 0)))),
+            jnp.asarray(np.concatenate(
+                [R_rel, np.tile(np.eye(3, dtype=np.float32), (e_pad2, 1, 1))])
+                if e_pad2 else R_rel, jnp.float32),
+            R_abs,
+            jnp.asarray(np.concatenate(
+                [np.ones(Er2, np.float32), np.zeros(e_pad2, np.float32)])),
+            l1_iters=cfg.rotation.max_num_l1_iterations,
+            irls_iters=cfg.rotation.max_num_irls_iterations,
+            sigma_deg=cfg.rotation.irls_loss_parameter_sigma_deg,
+        )
+        log(f"[mapper] re-averaged rotations on filtered graph: "
+            f"{int(rot_info2['irls_iters'])} IRLS iters, mean residual "
+            f"{np.degrees(float(rot_info2['mean_residual_rad'])):.3f} deg")
 
     # ---- gauge anchors: the two best-supported covisible views -------------
     # The reference pins views (0, 1) (global_mapper.cc:430-435), but a pinned
@@ -543,6 +640,7 @@ def _run_global_mapper_once(
     sub_frame = full2sub[obs_t.frame_idx]
     omask = obs_t.mask & (sub_frame >= 0)
     keep_tracks = omask.sum(axis=1) >= 2
+    orig_fi = np.where(omask, obs_t.frame_idx, 0).astype(np.int32)[keep_tracks]
     obs_t.frame_idx = np.where(omask, sub_frame, 0).astype(np.int32)[keep_tracks]
     obs_t.uv = obs_t.uv[keep_tracks]
     obs_t.mask = omask[keep_tracks]
@@ -561,11 +659,58 @@ def _run_global_mapper_once(
     # all-False masks (>=2-obs gates exclude them everywhere), and hosts
     # slice [:N] at finish.
     n_pad = -(-N // 32768) * 32768 - N
-    obs = TrackObs(
-        jnp.asarray(np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0)))),
-        jnp.asarray(np.pad(obs_t.uv, ((0, n_pad), (0, 0), (0, 0)))),
-        jnp.asarray(np.pad(obs_t.mask, ((0, n_pad), (0, 0)))),
+    # device build from the shared u16 track upload: the uv plane never
+    # crosses the tunnel a second time (build_obs_device docstring)
+    obs = build_obs_device(
+        dev_tracks[0],
+        np.pad(obs_t.track_row.astype(np.int32), (0, n_pad)),
+        np.pad(orig_fi, ((0, n_pad), (0, 0))),
+        np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0))),
+        np.pad(obs_t.mask, ((0, n_pad), (0, 0))),
     )
+
+    # ---- front-end products: everything the positioning back-ends consume.
+    # Captured so run_global_mapper's glomap retry can re-run positioning +
+    # refinement WITHOUT re-paying correspondences/RANSAC/rotation averaging.
+    fe = dict(
+        params=params, focal=focal, focal_bounds=focal_bounds, obs=obs,
+        obs_t=obs_t, N=N, n_pad=n_pad, V=V, sub=sub, full2sub=full2sub,
+        anchor=anchor, R_abs=R_abs, spairs=spairs, counts=counts,
+        R_rel=R_rel, t_rel=t_rel, inl_mask=inl_mask, uv1=uv1, uv2=uv2,
+        has_b=has_b, static_mask=static_mask, num_images=num_images,
+    )
+    if fe_out is not None:
+        fe_out.update(fe)
+    return _position_and_refine(tracks, height, width, cfg, fe, log)
+
+
+def _position_and_refine(
+    tracks: TrackArrays,
+    height: int,
+    width: int,
+    cfg: SfmConfig,
+    fe: dict,
+    log=print,
+) -> Reconstruction:
+    """Positioning back-end (glomap bearings or LUD path) + shared refinement,
+    consuming the front-end products in `fe` (see _run_global_mapper_once)."""
+    params = fe["params"]
+    focal = fe["focal"]
+    focal_bounds = fe["focal_bounds"]
+    obs = fe["obs"]
+    obs_t = fe["obs_t"]
+    N, n_pad, V = fe["N"], fe["n_pad"], fe["V"]
+    sub, full2sub = fe["sub"], fe["full2sub"]
+    anchor = fe["anchor"]
+    R_abs = fe["R_abs"]
+    spairs, counts = fe["spairs"], fe["counts"]
+    R_rel, t_rel = fe["R_rel"], fe["t_rel"]
+    inl_mask, uv1, uv2, has_b = fe["inl_mask"], fe["uv1"], fe["uv2"], fe["has_b"]
+    static_mask = fe["static_mask"]
+    num_images = fe["num_images"]
+
+    def norm(uv):
+        return (uv - params[None, None, 2:4]) / focal
 
     if cfg.sfm_type == "glomap" or cfg.position.method == "glomap":
         # ---- GLOMAP-mode: direct global positioning over bearings ----------
@@ -632,17 +777,27 @@ def _run_global_mapper_once(
     spairs_t = spairs[has_b]
     inl_t = inl_mask[has_b]
     match_mask = inl_t & (np.arange(inl_t.shape[1])[None, :] >= 0)
+    # edge-axis bucketing: repeat-pad with the last real pair (per-pair
+    # independent solves; padded outputs sliced away) so the jit shape is a
+    # 256-multiple instead of a per-sequence count
+    Et = len(spairs_t)
+    et_pad = (-Et) % 256
+
+    def _rpad(a):
+        return np.concatenate([a, np.repeat(a[-1:], et_pad, 0)]) if et_pad else a
+
     w0 = directions_from_relative_poses(
-        jnp.asarray(spairs_t), R_abs, jnp.asarray(t_rel[has_b], jnp.float32)
+        jnp.asarray(_rpad(spairs_t)), R_abs,
+        jnp.asarray(_rpad(t_rel[has_b]), jnp.float32)
     )
     w_dir = refine_pairwise_translations(
-        jnp.asarray(spairs_t),
+        jnp.asarray(_rpad(spairs_t)),
         R_abs,
-        jnp.asarray(norm(uv1[has_b])),
-        jnp.asarray(norm(uv2[has_b])),
-        jnp.asarray(match_mask),
+        jnp.asarray(_rpad(norm(uv1[has_b]))),
+        jnp.asarray(_rpad(norm(uv2[has_b]))),
+        jnp.asarray(_rpad(match_mask)),
         w0,
-    )
+    )[:Et]
 
     # ---- 1DSfM MFAS filter ------------------------------------------------
     mkeep = mfas_position_filter(V, spairs_t, np.asarray(w_dir), seed=cfg.seed)
@@ -655,12 +810,24 @@ def _run_global_mapper_once(
         spairs_m, w_m = spairs_t, w_dir
 
     # ---- triplet scale constraints (similarity averaging) -----------------
+    # edge/triplet-axis bucketing: pad w to a 256-multiple (solver jits
+    # specialize on [E, 3]) and triplet inputs likewise (all-False point
+    # masks -> weight 0 rows, which the LUD solver ignores by construction)
+    Em = len(spairs_m)
+    em_pad = (-Em) % 256
+    spairs_mp = np.pad(np.asarray(spairs_m), ((0, em_pad), (0, 0)))
+    w_mp = (jnp.concatenate(
+        [w_m, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                       (em_pad, 1))])
+        if em_pad else w_m)
+    emask_m = jnp.asarray(np.concatenate(
+        [np.ones(Em, np.float32), np.zeros(em_pad, np.float32)]))
     trip_constraints = None
     tris = np.zeros((0, 3), np.int32)
     if cfg.position.use_scale_constraints or cfg.position.method == "linear":
         tris = extract_triplets(spairs_m)
-        if len(tris) > 2000:  # dense view graphs: cap the constraint set
-            sel = np.random.default_rng(cfg.seed).choice(len(tris), 2000, replace=False)
+        if len(tris) > 2048:  # dense view graphs: cap the constraint set
+            sel = np.random.default_rng(cfg.seed).choice(len(tris), 2048, replace=False)
             tris = tris[np.sort(sel)]
         if len(tris):
             edge_of = {(int(a), int(b)): e for e, (a, b) in enumerate(spairs_m)}
@@ -678,11 +845,22 @@ def _run_global_mapper_once(
                 tris,
                 seed=cfg.seed,
             )
+            nt = len(tris)
+            t_pad = (-nt) % 256
+            if t_pad:
+                tris_p = np.pad(tris, ((0, t_pad), (0, 0)))
+                tri_edges_p = np.pad(tri_edges, ((0, t_pad), (0, 0)))
+                xi = np.pad(xi, ((0, t_pad), (0, 0), (0, 0)))
+                xj = np.pad(xj, ((0, t_pad), (0, 0), (0, 0)))
+                xk = np.pad(xk, ((0, t_pad), (0, 0), (0, 0)))
+                tmask = np.pad(tmask, ((0, t_pad), (0, 0)))
+            else:
+                tris_p, tri_edges_p = tris, tri_edges
             trip_constraints = triplet_baseline_constraints(
                 R_abs,
-                w_m,
-                jnp.asarray(tris),
-                jnp.asarray(tri_edges),
+                w_mp,
+                jnp.asarray(tris_p),
+                jnp.asarray(tri_edges_p),
                 jnp.asarray((xi - params[2:4]) / focal),
                 jnp.asarray((xj - params[2:4]) / focal),
                 jnp.asarray((xk - params[2:4]) / focal),
@@ -696,16 +874,18 @@ def _run_global_mapper_once(
     if cfg.position.method == "linear" and trip_constraints is not None and len(tris):
         from ..globalsfm.linear_position import estimate_positions_linear
 
+        # padded triplet rows carry weight 0 and contribute empty row blocks
         p_est = estimate_positions_linear(
-            V, jnp.asarray(spairs_m), w_m, jnp.asarray(tris), trip_constraints
+            V, jnp.asarray(spairs_mp), w_mp, jnp.asarray(tris_p),
+            trip_constraints
         )
         log("[mapper] linear (spectral) position estimation done")
     else:
         p_est, _, lud_info = estimate_positions_lud(
             V,
-            jnp.asarray(spairs_m),
-            w_m,
-            jnp.ones(len(spairs_m), jnp.float32),
+            jnp.asarray(spairs_mp),
+            w_mp,
+            emask_m,
             triplets=trip_constraints,
         )
         log(f"[mapper] LUD ADMM: {int(lud_info['iters'])} iters, "
@@ -736,6 +916,12 @@ def _refine_and_finish(
 ):
     """Shared tail: triangulation + two-phase iterative refinement + packing."""
     import os
+    # scale gauge: pin the DOMINANT component of a1's initial tvec — pinning a
+    # near-zero component (hardcoded x) leaves the scale gauge near-singular
+    # even across a large a0->a1 baseline oriented along y/z (ADVICE r4)
+    if len(anchor) < 3:
+        t_a1 = np.asarray(t_est)[int(anchor[1])]
+        anchor = (int(anchor[0]), int(anchor[1]), int(np.argmax(np.abs(t_a1))))
     if os.environ.get("PSFM_DUMP_REFINE"):
         np.savez_compressed(
             os.environ["PSFM_DUMP_REFINE"],
@@ -784,12 +970,25 @@ def _refine_and_finish(
     for phase, refine_rot in ((0, False), (1, True)):
         free = default_free_masks(V, refine_rotation=refine_rot, anchor=anchor)
         prev_frac = -1.0
+        # monotonicity guard (round-5): on unstable scenes a refinement round
+        # can COLLAPSE support (measured seq_00: kept-obs 0.89 -> 0.63 ->
+        # 0.21 -> 0 as the annealed gate ballooned and BA chased the junk) —
+        # the loop exists to polish a model, never to destroy one. Snapshot
+        # the state each round; if a round drops kept-obs by > 0.1, restore
+        # the snapshot and end the phase.
+        snap = None
         for it in range(cfg.ba.max_refinements):
+            if prev_frac >= 0:
+                snap = (q_cur, t_cur, X, jparams, good, valid, thr)
             state = bundle_adjust(
                 q_cur, t_cur, jparams, X,
                 obs,
                 free, valid.astype(jnp.float32),
-                max_iterations=cfg.ba.max_num_iterations,
+                # annealed phase-0 rounds are re-gated right after; LM work
+                # past ~30 iters there never survives (healthy scenes exit at
+                # ~13 via function_tolerance, pathological ones burn the cap)
+                max_iterations=(min(cfg.ba.max_num_iterations, 30)
+                                if phase == 0 else cfg.ba.max_num_iterations),
                 loss_scale=cfg.ba.loss_scale,
                 use_soft_l1=(cfg.ba.loss == "soft_l1"),
                 refine_focal=cfg.ba.refine_focal_length,
@@ -838,6 +1037,11 @@ def _refine_and_finish(
                 f"thr={thr:.2f}px kept-obs={frac:.4f} valid-tracks={int(valid.sum())} "
                 f"lm-iters={int(state.iters)}"
             )
+            if prev_frac >= 0 and frac < prev_frac - 0.1 and snap is not None:
+                q_cur, t_cur, X, jparams, good, valid, thr = snap
+                log(f"[mapper] phase {phase} round {it}: kept-obs collapsed "
+                    f"{prev_frac:.3f} -> {frac:.3f}; reverted round, ending phase")
+                break
             if abs(frac - prev_frac) < cfg.ba.refinement_change:
                 break
             prev_frac = frac

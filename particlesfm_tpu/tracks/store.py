@@ -96,7 +96,20 @@ def assemble_tracks(out: TrackerOutput, min_len: int = 3) -> TrackArrays:
     Drops trajectories shorter than min_len, like
     /root/reference/point_trajectory/main_connect_point_trajectories.py:50-55.
     """
-    positions = np.asarray(out.positions)
+    if not isinstance(out.positions, np.ndarray):
+        # u16 fixed-point D2H (the tunnel moves D2H at ~10-20 MB/s; the f32
+        # [T+1, C, 2] emission plane is ~100 MB at protocol scale): 1/32 px
+        # quantization — 0.03 px, an order of magnitude below the flow net's
+        # EPE — for half the bytes
+        import jax
+        import jax.numpy as jnp
+
+        q = jax.jit(
+            lambda p: jnp.clip(jnp.round(p * 32.0), 0, 65535).astype(jnp.uint16)
+        )(out.positions)
+        positions = np.asarray(q).astype(np.float32) * (1.0 / 32.0)
+    else:
+        positions = np.asarray(out.positions)
     traj_ids = np.asarray(out.traj_ids)
     # the engine emits id=-1 exactly where valid=False, so the valid plane
     # never needs to cross the (slow) device->host link

@@ -53,7 +53,20 @@ def main():
         # warm (compile)
         a = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32)
         t0 = time.time()
-        jax.block_until_ready(run(fvars, a, a))
+        try:
+            jax.block_until_ready(run(fvars, a, a))
+        except Exception as e:  # noqa: BLE001 — report, don't crash the A/B
+            # Measured on the real chip (round 5): Mosaic rejects the
+            # windowed-DMA lookup outright — "Slice shape along dimension 1
+            # must be aligned to tiling (8), but is 10". The 10x10 lookup
+            # window is not expressible as an aligned HBM slice, exactly the
+            # round-1 DESIGN.md analysis; an aligned variant would fetch
+            # 24x256 blocks (60x bandwidth waste) and lose to XLA's gather.
+            print(f"use_pallas={pallas}: DOES NOT COMPILE on this chip "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:120]})",
+                  flush=True)
+            results["pallas" if pallas else "gather"] = float("inf")
+            continue
         compile_s = time.time() - t0
         ts = []
         for _ in range(args.reps):
@@ -68,9 +81,16 @@ def main():
         print(f"use_pallas={pallas}: {dt:.3f}s for {B} pairs "
               f"({B/dt:.1f} pairs/s; compile+first {compile_s:.1f}s)",
               flush=True)
-    ratio = results["pallas"] / results["gather"]
-    print(f"pallas/gather time ratio: {ratio:.3f} "
-          f"({'pallas wins' if ratio < 1 else 'gather wins'})")
+    import math
+
+    if math.isinf(results.get("pallas", 0.0)):
+        print("verdict: gather wins by forfeit — the Pallas kernel does not "
+              "compile on real hardware at production shape; use_pallas=False "
+              "stays the default")
+    else:
+        ratio = results["pallas"] / results["gather"]
+        print(f"pallas/gather time ratio: {ratio:.3f} "
+              f"({'pallas wins' if ratio < 1 else 'gather wins'})")
 
 
 if __name__ == "__main__":

@@ -157,3 +157,28 @@ def test_flow_selfcal_recovers_focal_on_conditioned_scene():
         sc["flows"], sc["height"], sc["width"], seed=0)
     assert _gate_accepts(info), info
     assert abs(info["focal"] / sc["focal"] - 1.0) < 0.06, info
+
+
+def test_read_flow_selfcal_tiers(tmp_path):
+    """stages.read_flow_selfcal: strict tier -> +-15% BA trust region,
+    marginal tier (shallow dip, decent agreement) -> +-30%, junk -> None."""
+    import json
+
+    from particlesfm_tpu.pipeline.stages import read_flow_selfcal
+    from particlesfm_tpu.utils.config import Config
+
+    cfg = Config()
+
+    def write(info):
+        (tmp_path / "selfcal.json").write_text(json.dumps(info))
+        return read_flow_selfcal(tmp_path, cfg)
+
+    base = {"focal": 1234.0, "num_pairs": 40, "interior": True}
+    assert write({**base, "confidence": 0.9, "dip": 0.2}) == (1234.0, 0.15)
+    # round-4 seq_05's exact profile: dip 0.57 rejected a -1.0%-of-GT estimate
+    assert write({**base, "confidence": 0.56, "dip": 0.57}) == (1234.0, 0.30)
+    # low agreement: rejected by both tiers (degenerate-scene profile)
+    assert write({**base, "confidence": 0.21, "dip": 0.53}) is None
+    # boundary minimum is not a calibration
+    assert write({**base, "confidence": 0.9, "dip": 0.2,
+                  "interior": False}) is None
