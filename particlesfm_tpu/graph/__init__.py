@@ -6,5 +6,6 @@ from .viewgraph import (
     orientations_from_spanning_tree,
     extract_triplets,
     filter_pairs_by_orientation,
+    loop_consistency_filter,
     mfas_position_filter,
 )

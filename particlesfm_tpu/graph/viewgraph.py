@@ -249,3 +249,66 @@ def mfas_position_filter(
         inconsistent = ((diff < 0) & (proj > 0)) | ((diff > 0) & (proj < 0))
         bad += np.where(inconsistent, np.abs(proj), 0.0)
     return bad / num_iterations <= tolerance
+
+
+def loop_consistency_filter(
+    num_nodes: int,
+    edges: np.ndarray,          # [E, 2] int (i, j), i < j
+    R_rel: np.ndarray,          # [E, 3, 3] relative rotations (R_j R_i^T)
+    max_err_deg: float = 6.0,
+    min_loops: int = 2,
+    max_probes: int = 8,
+) -> np.ndarray:
+    """Per-pair triplet loop-closure gate over the view graph.
+
+    For each pair (i, j), compose R_kj @ R_ik over intermediate views k
+    (preferring midpoints, using only sub-pairs of SHORTER span — the
+    empirically reliable ones) and compare with the pair's own R_ij. A pair
+    whose median loop error exceeds `max_err_deg` carries junk two-view
+    geometry. Unlike gating against a single spanning-tree chain, loop
+    closure is symmetric: it cannot entrench a drifted chain (measured
+    round-5: the chain gate fixed one bowed scene and broke a previously
+    perfect one; this filter must not trust either side a priori).
+
+    Returns [E] bool keep mask (pairs with < min_loops testable loops are
+    kept — no evidence, no verdict).
+    """
+    E = len(edges)
+    keep = np.ones(E, bool)
+    if E == 0:
+        return keep
+    idx = {(int(a), int(b)): e for e, (a, b) in enumerate(edges)}
+
+    def rel(a, b):
+        """R_b R_a^T from the edge list (either orientation)."""
+        e = idx.get((a, b))
+        if e is not None:
+            return R_rel[e]
+        e = idx.get((b, a))
+        if e is not None:
+            return R_rel[e].T
+        return None
+
+    for e in range(E):
+        i, j = int(edges[e, 0]), int(edges[e, 1])
+        span = abs(j - i)
+        if span < 2:
+            continue
+        mid = (i + j) // 2
+        ks = sorted(range(min(i, j) + 1, max(i, j)), key=lambda k: abs(k - mid))
+        errs = []
+        for k in ks[: 4 * max_probes]:
+            if max(abs(k - i), abs(k - j)) >= span:
+                continue
+            Ra = rel(i, k)
+            Rb = rel(k, j)
+            if Ra is None or Rb is None:
+                continue
+            dR = R_rel[e] @ (Rb @ Ra).T
+            errs.append(np.degrees(
+                np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))))
+            if len(errs) >= max_probes:
+                break
+        if len(errs) >= min_loops and float(np.median(errs)) > max_err_deg:
+            keep[e] = False
+    return keep

@@ -247,9 +247,14 @@ def _load_seg_apply(cfg: Config):
     from ..models.motionseg import TrajOADepth
 
     input_hw = tuple(cfg.motionseg.resolution)
+    sidecar_threshold = None
     meta_path = Path(str(ckpt) + ".json")
     if meta_path.exists():
-        input_hw = tuple(json.loads(meta_path.read_text())["input_hw"])
+        meta = json.loads(meta_path.read_text())
+        input_hw = tuple(meta["input_hw"])
+        # calibrated decision threshold (round-5 trainer sweeps the sigmoid
+        # cut on the holdout and stores the pooled-IoU-optimal value)
+        sidecar_threshold = meta.get("threshold")
     model = TrajOADepth(input_hw=input_hw)
     with open(ckpt, "rb") as f:
         blob = msgpack_restore(f.read())
@@ -297,6 +302,7 @@ def _load_seg_apply(cfg: Config):
 
     apply.accepts_u16 = True    # motionseg/infer.py packs coords as u16
     apply.scan_chunks = apply_chunks
+    apply.threshold = sidecar_threshold
     _APPLY_CACHE[key] = apply
     return apply
 

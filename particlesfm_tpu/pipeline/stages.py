@@ -410,10 +410,18 @@ def motionseg_stage(
     from ..motionseg import segment_tracks
     from ..parallel.mesh import make_mesh
 
+    # decision threshold: checkpoint-calibrated value (sidecar) unless the
+    # config was explicitly overridden away from the reference default 0.5
+    thr = cfg.motionseg.threshold
+    side = getattr(seg_apply, "threshold", None)
+    if side is not None and abs(thr - 0.5) < 1e-9:
+        thr = float(side)
+        log(f"[motionseg] using checkpoint-calibrated threshold {thr}")
     labeled = segment_tracks(
         seg_apply, tracks, depths, image_hw,
         window_size=cfg.motionseg.window_size,
         traj_max_num=cfg.motionseg.traj_max_num,
+        threshold=thr,
         mesh=make_mesh(),       # windows shard data-parallel over all devices
         log=log,
     )

@@ -134,8 +134,11 @@ def run_incremental_mapper(
     N = len(obs_t.track_row)
     if N < 8:
         return _failed(num_images, params, height, width)
-    obs = TrackObs(jnp.asarray(obs_t.frame_idx), jnp.asarray(obs_t.uv),
-                   jnp.asarray(obs_t.mask))
+    # track-axis bucketing (mapper parity): device kernels specialize on N
+    n_pad = -(-N // 32768) * 32768 - N
+    obs = TrackObs(jnp.asarray(np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0)))),
+                   jnp.asarray(np.pad(obs_t.uv, ((0, n_pad), (0, 0), (0, 0)))),
+                   jnp.asarray(np.pad(obs_t.mask, ((0, n_pad), (0, 0)))))
     jparams = jnp.asarray(params)
 
     registered = np.zeros(num_images, bool)
@@ -147,7 +150,9 @@ def run_incremental_mapper(
     t_all[j0] = np.asarray(tv.t_rel[seed_e])
 
     def retriangulate():
-        """Triangulate with current poses; only registered observations count."""
+        """Triangulate with current poses; only registered observations count.
+
+        Returns (X device [N+pad, 3], good/valid/errs host sliced to N)."""
         reg = jnp.asarray(registered)
         gated = obs.mask & reg[obs.frame_idx]
         X = triangulate_tracks(
@@ -159,7 +164,8 @@ def run_incremental_mapper(
             TrackObs(obs.frame_idx, obs.uv, gated),
             cfg.ba.filter_max_reproj_error_px, cfg.ba.filter_min_tri_angle_deg,
         )
-        return X, np.asarray(good), np.asarray(valid), np.asarray(errs)
+        return (X, np.asarray(good)[:N], np.asarray(valid)[:N],
+                np.asarray(errs)[:N])
 
     X, good, valid, _ = retriangulate()
     log(f"[incremental] seed triangulation: {int(valid.sum())} points")
@@ -174,10 +180,29 @@ def run_incremental_mapper(
         gmask = good & registered[obs_t.frame_idx] & valid[:, None]
         free = np.zeros((V_pad, 6), np.float32)
         free[: len(sub)] = np.asarray(default_free_masks(max(len(sub), 2)))[: len(sub)]
+        # ranked track cap (mapper parity): the [N, K, 6, 6]-class BA block
+        # tensors at protocol scale (252k tracks) exceed chip HBM (measured
+        # OOM at 23.4 of 15.75 GB); the solve runs on the best max_tracks
+        # tracks and every retriangulate() pass re-fits the full set to the
+        # refined poses — only poses/intrinsics carry over.
+        cap = cfg.ba.max_tracks
+        if N > cap:
+            nobs = gmask.sum(axis=1)
+            score = valid.astype(np.int64) * 1000 + nobs
+            selr = np.sort(np.argpartition(-score, cap)[:cap])
+        else:
+            selr = np.arange(N)
+        pad_s = -(-len(selr) // 32768) * 32768 - len(selr)
+        selr_p = np.pad(selr, (0, pad_s)).astype(np.int32)
+        dsel = jnp.asarray(selr_p)
+        smask = np.pad(gmask[selr], ((0, pad_s), (0, 0)))
+        smask[len(selr):] = False
         state = bundle_adjust(
-            jnp.asarray(qp), jnp.asarray(tp), jparams, X,
-            TrackObs(jnp.asarray(sub_frame), obs.uv, jnp.asarray(gmask)),
-            jnp.asarray(free), jnp.asarray(valid, jnp.float32),
+            jnp.asarray(qp), jnp.asarray(tp), jparams, X[dsel],
+            TrackObs(jnp.asarray(np.pad(sub_frame[selr], ((0, pad_s), (0, 0)))),
+                     obs.uv[dsel], jnp.asarray(smask)),
+            jnp.asarray(free),
+            jnp.asarray(np.pad(valid[selr], (0, pad_s)), jnp.float32),
             max_iterations=cfg.ba.max_num_iterations // 2,
             use_soft_l1=(cfg.ba.loss == "soft_l1"),
             refine_focal=refine_focal,
@@ -185,7 +210,6 @@ def run_incremental_mapper(
         q_all[sub] = np.asarray(state.q)[: len(sub)]
         t_all[sub] = np.asarray(state.t)[: len(sub)]
         jparams = state.params
-        X = state.X
 
     last_ba_count = 2
     while True:
@@ -257,7 +281,7 @@ def run_incremental_mapper(
         params=np.asarray(jparams),
         height=height,
         width=width,
-        points=np.asarray(X),
+        points=np.asarray(X)[:N],
         track_valid=valid,
         obs_frame_idx=obs_t.frame_idx,
         obs_uv=obs_t.uv,

@@ -43,9 +43,16 @@ def run_reconstruction_manager(
         # never fires in the pipeline (measured ATE 0.164 vs 0.017 gated at
         # protocol scale)
         sub = TrackArrays(xy=tracks.xy, mask=mask, labels=tracks.labels)
-        # enough frames with enough observations left?
+        # enough frames with enough observations left? COLMAP's mapper only
+        # keeps models with >= min_model_size (10) registered images; a 5-frame
+        # residual model costs a full mapper pass (fresh compile shapes) for
+        # negligible value (measured 185 s on seq_06 round 5)
         frames_alive = (mask.sum(axis=0) >= cfg.min_num_matches).sum()
-        if frames_alive < 3:
+        # short inputs (split-sequence recovery) keep a relative bar so a
+        # 12-frame video can still yield a 5-frame second component
+        bar = (3 if k == 0
+               else max(3, min(cfg.min_model_size, tracks.num_frames // 4)))
+        if frames_alive < bar:
             break
         rec = run_global_mapper(sub, height, width, cfg, params=params, log=log,
                                 focal_bound_frac=focal_bound_frac)

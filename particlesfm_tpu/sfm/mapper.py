@@ -28,6 +28,7 @@ from ..graph import (
     extract_triplets,
     filter_pairs_by_orientation,
     largest_connected_component,
+    loop_consistency_filter,
     mfas_position_filter,
     orientations_from_spanning_tree,
 )
@@ -99,7 +100,76 @@ def run_global_mapper(
     log=print,
     focal_bound_frac: Optional[float] = None,
 ) -> Reconstruction:
-    """Global mapper with dominant-object disambiguation.
+    """Global mapper: multi-start over view-graph gating + retry cascade.
+
+    Round-5 finding: when the solve reaches its TRUE basin, the kept
+    observations sit at flow-noise level (~0.25 px mean reprojection); warped
+    self-consistent basins plateau at 0.8-1.3 px. That gap is the reliable
+    internal convergence test. Start with the ungated view graph; if the
+    result fails the convergence test, rerun with the triplet
+    loop-consistency gate (a different basin of attraction — it fixed bowed
+    scenes whose wide-baseline pairs were junk, and broke scenes where they
+    were load-bearing, so NEITHER variant is a safe default) and keep the
+    candidate with the better kept-obs/(err^2) x coverage score.
+    """
+    cfg = cfg or SfmConfig()
+    rec = _mapper_with_retries(tracks, height, width, cfg, params, log,
+                               focal_bound_frac)
+    e1 = _kept_err(rec)
+    if (cfg.multi_start_err_px > 0 and cfg.pre_orientation_filter_deg == 0
+            and (rec.num_registered < 3 or e1 > cfg.multi_start_err_px)):
+        from dataclasses import replace as _dc_replace
+
+        log(f"[mapper] kept-obs mean reprojection {e1:.2f}px > "
+            f"{cfg.multi_start_err_px}px (not at flow-noise level); "
+            "multi-start with loop-consistency gate")
+        cfg2 = _dc_replace(cfg, pre_orientation_filter_deg=6.0)
+        rec2 = _mapper_with_retries(tracks, height, width, cfg2, params, log,
+                                    focal_bound_frac)
+        s1 = _convergence_score(rec, height, width)
+        s2 = _convergence_score(rec2, height, width)
+        log(f"[mapper] multi-start scores (obs/err^2 x coverage): "
+            f"ungated {s1:.0f} vs gated {s2:.0f} "
+            f"(err {e1:.2f} vs {_kept_err(rec2):.2f}px)")
+        if s2 > s1:
+            rec = rec2
+    return rec
+
+
+def _kept_err(rec: Reconstruction) -> float:
+    """Mean reprojection error over kept observations of valid tracks."""
+    if not len(rec.track_valid):
+        return float("inf")
+    sel = rec.obs_mask & rec.track_valid[:, None]
+    if not sel.any():
+        return float("inf")
+    return float(rec.obs_error[sel].mean())
+
+
+def _convergence_score(rec: Reconstruction, height: int, width: int) -> float:
+    """Candidate selection: kept observations / (mean err^2) x coverage.
+
+    True-basin models dominate through the err^2 term (0.25 vs ~1 px is a
+    16x factor); among equally-warped candidates the obs x coverage part
+    falls back to the round-4 support score."""
+    sel = rec.obs_mask & rec.track_valid[:, None]
+    if not sel.any() or rec.num_registered < 3:
+        return 0.0
+    e = _kept_err(rec)
+    return (float(sel.sum()) / (e * e + 0.05)
+            * _coverage_fraction(rec, height, width))
+
+
+def _mapper_with_retries(
+    tracks: TrackArrays,
+    height: int,
+    width: int,
+    cfg: SfmConfig,
+    params: Optional[np.ndarray] = None,
+    log=print,
+    focal_bound_frac: Optional[float] = None,
+) -> Reconstruction:
+    """One mapper start + the staged retry cascade (glomap / complement).
 
     A large rigidly-moving object is itself a valid "static scene" under a
     different camera path; when the solver locks onto it, the true static
@@ -109,7 +179,6 @@ def run_global_mapper(
     reconstruction-level sequential-RANSAC step the reference does not have
     (it relies on its trained segmentation alone).
     """
-    cfg = cfg or SfmConfig()
     fe_cache: dict = {}
     rec = _run_global_mapper_once(tracks, height, width, cfg, params, log,
                                   fe_out=fe_cache,
@@ -501,38 +570,31 @@ def _run_global_mapper_once(
     # this). The solvers were designed for padded edges (edge_mask/weight 0);
     # pad every edge list to a 256-multiple so a handful of shapes ever
     # compile.
-    R_init = orientations_from_spanning_tree(V, spairs, counts, R_rel)
-
     # ---- pre-averaging loop-consistency gate (round-5) ---------------------
-    # Measured on the acceptance set: pairs more than ~8-16 frames apart carry
-    # JUNK two-view geometry (median rotation error 8-17 deg, translation
-    # directions 60-80 deg off GT) on every sequence — long-surviving tracks
-    # are few and concentrated, and an overfit essential still clears the
-    # inlier gates. They are ~half the covisibility graph; on low-motion
-    # scenes IRLS out-votes them (errors ~random), on high-motion scenes the
-    # junk is correlated and drags the whole rotation field into a smooth bow
-    # (round-4 seq_00/05/11, ATE 0.18-0.37 with per-frame rotations bowing
-    # 0->14 deg). Gate each pair against the MST-chain init (built from
-    # high-count short-baseline edges, accurate to ~0.1 deg/step): a pair
-    # whose relative rotation disagrees with the chain by > the threshold is
-    # dropped BEFORE it can bias the average. The existing post-averaging
-    # filter then handles what the loose threshold admits.
+    # Measured on the acceptance set: wide-temporal-baseline pairs can carry
+    # JUNK two-view geometry (few surviving common tracks; an overfit
+    # essential still clears the inlier gates), and when the junk is
+    # correlated it drags rotation averaging into a smooth bow (round-4
+    # seq_00/05/11). Gate by TRIPLET LOOP CLOSURE over shorter sub-pairs —
+    # symmetric evidence. (A first attempt gated against the MST-chain init;
+    # that fixed the bowed scenes but broke a previously perfect one whose
+    # chain had drifted: trusting either side a priori is wrong.)
     if cfg.pre_orientation_filter_deg > 0:
-        Rc = R_init[spairs[:, 1]] @ np.swapaxes(R_init[spairs[:, 0]], 1, 2)
-        tr = np.einsum("eij,eij->e", R_rel, Rc)
-        ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
-        keep = ang <= cfg.pre_orientation_filter_deg
-        if (keep.sum() >= max(3, int(0.3 * len(spairs)))
+        keep = loop_consistency_filter(
+            V, spairs, R_rel, max_err_deg=cfg.pre_orientation_filter_deg)
+        if (not keep.all() and keep.sum() >= max(3, int(0.3 * len(spairs)))
                 and largest_connected_component(V, spairs[keep]).all()):
-            log(f"[mapper] chain-consistency gate kept {keep.sum()}/"
-                f"{len(keep)} pairs (median disagreement {np.median(ang):.1f} deg)")
+            log(f"[mapper] loop-consistency gate kept {int(keep.sum())}/"
+                f"{len(keep)} pairs")
             spairs, counts, R_rel, t_rel = (spairs[keep], counts[keep],
                                             R_rel[keep], t_rel[keep])
             inl_mask, uv1, uv2, has_b = (inl_mask[keep], uv1[keep],
                                          uv2[keep], has_b[keep])
-        else:
-            log(f"[mapper] chain-consistency gate would disconnect the graph "
-                f"({keep.sum()}/{len(keep)} kept); skipped")
+        elif not keep.all():
+            log(f"[mapper] loop-consistency gate would disconnect the graph "
+                f"({int(keep.sum())}/{len(keep)} kept); skipped")
+
+    R_init = orientations_from_spanning_tree(V, spairs, counts, R_rel)
 
     Er = len(spairs)
     e_pad = (-Er) % 256
@@ -659,15 +721,24 @@ def _run_global_mapper_once(
     # all-False masks (>=2-obs gates exclude them everywhere), and hosts
     # slice [:N] at finish.
     n_pad = -(-N // 32768) * 32768 - N
-    # device build from the shared u16 track upload: the uv plane never
-    # crosses the tunnel a second time (build_obs_device docstring)
-    obs = build_obs_device(
-        dev_tracks[0],
-        np.pad(obs_t.track_row.astype(np.int32), (0, n_pad)),
-        np.pad(orig_fi, ((0, n_pad), (0, 0))),
-        np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0))),
-        np.pad(obs_t.mask, ((0, n_pad), (0, 0))),
-    )
+    import os as _os
+    if _os.environ.get("PSFM_NO_U16_OBS"):
+        # bisection escape hatch: exact f32 obs upload (debugging aid)
+        obs = TrackObs(
+            jnp.asarray(np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0)))),
+            jnp.asarray(np.pad(obs_t.uv, ((0, n_pad), (0, 0), (0, 0)))),
+            jnp.asarray(np.pad(obs_t.mask, ((0, n_pad), (0, 0)))),
+        )
+    else:
+        # device build from the shared u16 track upload: the uv plane never
+        # crosses the tunnel a second time (build_obs_device docstring)
+        obs = build_obs_device(
+            dev_tracks[0],
+            np.pad(obs_t.track_row.astype(np.int32), (0, n_pad)),
+            np.pad(orig_fi, ((0, n_pad), (0, 0))),
+            np.pad(obs_t.frame_idx, ((0, n_pad), (0, 0))),
+            np.pad(obs_t.mask, ((0, n_pad), (0, 0))),
+        )
 
     # ---- front-end products: everything the positioning back-ends consume.
     # Captured so run_global_mapper's glomap retry can re-run positioning +
@@ -984,11 +1055,12 @@ def _refine_and_finish(
                 q_cur, t_cur, jparams, X,
                 obs,
                 free, valid.astype(jnp.float32),
-                # annealed phase-0 rounds are re-gated right after; LM work
-                # past ~30 iters there never survives (healthy scenes exit at
-                # ~13 via function_tolerance, pathological ones burn the cap)
-                max_iterations=(min(cfg.ba.max_num_iterations, 30)
-                                if phase == 0 else cfg.ba.max_num_iterations),
+                # full iteration budget in BOTH phases: capping phase-0 at 30
+                # looked safe on healthy scenes (they exit at ~13 via
+                # function_tolerance) but measurably broke the glomap-retry
+                # scenes, whose phase-0 needs the full 50 to hold support
+                # (round-5 sweep: seq_10 ATE 0.007 -> 0.69 with the cap)
+                max_iterations=cfg.ba.max_num_iterations,
                 loss_scale=cfg.ba.loss_scale,
                 use_soft_l1=(cfg.ba.loss == "soft_l1"),
                 refine_focal=cfg.ba.refine_focal_length,

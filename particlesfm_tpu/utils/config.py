@@ -156,7 +156,7 @@ class BundleAdjustmentConfig:
     # stop a refinement phase once kept-obs moves less than this between
     # rounds: measured at protocol scale, rounds beyond the plateau change
     # kept-obs by <2e-3 and the pose by nothing, at ~4.4 s/round
-    refinement_change: float = 5e-3
+    refinement_change: float = 2e-3
     loss: str = "soft_l1"
     loss_scale: float = 1.0
     # LM early-exit tolerance (Ceres function_tolerance default 1e-6,
@@ -242,12 +242,18 @@ class SfmConfig:
     max_H_inlier_ratio: float = 0.8
     watermark_min_inlier_ratio: float = 0.7
     panoramic_max_t_mag: float = 2e-2
-    # pre-averaging loop-consistency gate: drop pairs whose relative rotation
-    # disagrees with the MST-chain init by more than this (0 disables). Wide
-    # temporal-baseline pairs carry junk two-view geometry (round-5 measured:
-    # median 8-17 deg rotation error past ~16 frames) and half the graph is
-    # such pairs; see mapper.py.
-    pre_orientation_filter_deg: float = 12.0
+    # pre-averaging loop-consistency gate: drop pairs whose median triplet
+    # loop-closure error (vs shorter sub-pairs) exceeds this (0 disables).
+    # Wide temporal-baseline pairs can carry junk two-view geometry that
+    # clears the inlier gates; see mapper.py / graph.loop_consistency_filter.
+    pre_orientation_filter_deg: float = 0.0   # 0 = ungated first start
+    # multi-start convergence test: a first-start model whose kept
+    # observations average above this reprojection error is not at the flow
+    # noise floor (~0.25 px measured); try the loop-gated view graph too
+    multi_start_err_px: float = 0.5
+    # residual models below this image count are not worth a mapper pass
+    # (COLMAP mapper min_model_size parity)
+    min_model_size: int = 10
     filter_max_orientation_error_deg: float = 10.0
     rotation: RotationAveragingConfig = field(default_factory=RotationAveragingConfig)
     position: PositionAveragingConfig = field(default_factory=PositionAveragingConfig)
