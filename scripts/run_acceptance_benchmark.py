@@ -51,6 +51,34 @@ def _emit_partial(signum=None, frame=None):
     os._exit(0)
 
 
+def parse_position_path(path: Path) -> dict:
+    """Which positioning estimator produced the kept model (VERDICT r4 #4).
+
+    Classified from the mapper telemetry in pipeline.log: every glomap
+    bearing-solve attempt logs 'glomap positioning: focal ...' and a failed
+    quality gate logs the 'falling back to LUD path' line; a global-mode
+    glomap rescue logs 'glomap-retry scores: lud A vs glomap B' (winner =
+    larger score)."""
+    if not path.exists():
+        return {}
+    text = path.read_text()
+    attempts = text.count("glomap positioning: focal")
+    rejected = text.count("falling back to LUD path")
+    out = {"glomap_attempts": attempts, "glomap_rejected": rejected}
+    retry = re.findall(
+        r"glomap-retry scores: lud ([0-9.eE+-]+) vs\s+glomap ([0-9.eE+-]+)",
+        text)
+    if retry:   # global mode: LUD first, glomap as collapse rescue
+        s_lud, s_glo = map(float, retry[-1])
+        out["position_path"] = "glomap-rescue" if s_glo > s_lud else "lud"
+    elif attempts:  # glomap mode: native bearing solve first
+        out["position_path"] = ("native-bearing" if attempts > rejected
+                                else "lud-fallback")
+    else:
+        out["position_path"] = "lud"
+    return out
+
+
 def parse_timings(path: Path) -> dict:
     """StageTimer report lines look like '  <stage>: <sec> s'."""
     out = {}
@@ -132,7 +160,9 @@ def main(argv=None):
             run_pipeline(img_dir, out, cfg, log=_log)
         dt = time.time() - t0
         stages = parse_timings(out / "timings.txt")
-        return {"wall_s": round(dt, 2), "frames": nf, "stages": stages}
+        entry = {"wall_s": round(dt, 2), "frames": nf, "stages": stages}
+        entry.update(parse_position_path(out / "pipeline.log"))
+        return entry
 
     for name in names:
         entry = run_seq(name, out_root / name / "particlesfm_tpu")
