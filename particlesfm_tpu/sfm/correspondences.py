@@ -96,6 +96,7 @@ def build_pair_tensors(
     mask: Optional[np.ndarray] = None,
     min_num_matches: int = 15,
     max_matches_per_pair: int = 256,
+    max_span: int = 0,
     seed: int = 100,
 ) -> PairTensors:
     """Covisibility pairs + padded per-pair correspondence tensors.
@@ -118,6 +119,13 @@ def build_pair_tensors(
     iu = np.triu_indices(covis.shape[0], k=1)
     counts = covis[iu]
     keep = counts >= min_num_matches
+    # temporal span cap (reference parity: traj_to_matches samples tracks
+    # inside sliding windows — trajectory_base.cpp sample_inside_window — so
+    # the reference's match graph is effectively banded; our dense tracker
+    # keeps >=15 common tracks across 40+ frame baselines, and those pairs'
+    # two-view geometry is junk that biases rotation averaging)
+    if max_span > 0:
+        keep &= (iu[1] - iu[0]) <= max_span
     pairs = np.stack([iu[0][keep], iu[1][keep]], axis=1).astype(np.int32)
     counts = counts[keep].astype(np.int32)
 

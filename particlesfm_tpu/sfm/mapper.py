@@ -312,7 +312,8 @@ def _run_global_mapper_once(
     else:
         static_mask = static_observation_mask(tracks, cfg.remove_dynamic)
     pair_t = build_pair_tensors(
-        tracks, static_mask, cfg.min_num_matches, seed=cfg.seed
+        tracks, static_mask, cfg.min_num_matches, seed=cfg.seed,
+        max_span=getattr(cfg, "max_pair_span", 0),
     )
     if len(pair_t.pairs) < 3:
         log("[mapper] too few covisible pairs; reconstruction failed")

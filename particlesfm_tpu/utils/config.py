@@ -188,6 +188,14 @@ class SfmConfig:
     multiple_models: bool = True
     max_models: int = 4
     min_num_matches: int = 15
+    # covisibility-pair temporal span cap (0 = unlimited). The reference's
+    # match graph is effectively banded (traj_to_matches samples inside
+    # sliding windows); our dense tracks keep >=15 common tracks across 40+
+    # frame baselines whose overfit two-view geometry biases averaging.
+    # Measured (cached-track A/B, seq_01_dyn): complete graph 0.315 ATE /
+    # 283 s; span 10 -> 0.064 / 102 s (kept-err leaves the ~1 px warped basin
+    # for ~0.3-0.5 px). 0 = unlimited.
+    max_pair_span: int = 10
     sample_k: int = 20                   # matches per track (matches_from_flow.py:53)
     remove_dynamic: bool = True
     # seg-label geometry gate: segmentation labels are advisory, not binding —
