@@ -258,7 +258,10 @@ class SfmConfig:
     # multi-start convergence test: a first-start model whose kept
     # observations average above this reprojection error is not at the flow
     # noise floor (~0.25 px measured); try the loop-gated view graph too
-    multi_start_err_px: float = 0.5
+    # noise floor measured ~0.25 px, warped basins 0.8-1.3 px; 0.65 leaves
+    # margin below the warped band without re-solving 0.5-0.6 px models whose
+    # banded-graph gated restart is a no-op (r5 sweep: identical scores)
+    multi_start_err_px: float = 0.65
     # residual models below this image count are not worth a mapper pass
     # (COLMAP mapper min_model_size parity)
     min_model_size: int = 10
